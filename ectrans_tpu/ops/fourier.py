@@ -1,0 +1,176 @@
+"""Fourier layer: per-latitude real (inverse) DFTs, batched for TPU.
+
+Replaces the reference's FFT machinery (FTINV/FTDIR + FFTW plan cache,
+``ftinv_mod.F90``, ``tpm_fftw.F90``; GPU batched variant ``hicfft.cuda.cu``)
+with a **batched Bluestein chirp-z transform built on a complex-free
+power-of-two FFT** (``ops.realfft``):
+
+* The TPU backend supports neither complex dtypes nor the XLA FFT op, so all
+  arithmetic is on (re, im) float array pairs.
+* Every latitude's arbitrary-length DFT becomes one pair of fixed
+  power-of-two FFTs shared by ALL latitudes — the whole (field, lat) batch is
+  transformed in one uniform call instead of one FFT plan per distinct NLOEN
+  (the reference's per-loen plan cache, ``hicfft.cuda.cu:136-160``).  Reduced
+  and full Gaussian grids take the same path.
+
+Normalization matches the reference (``tpm_fftw.F90:251-377``): the direct
+(analysis) DFT divides by NLOEN; synthesis is unnormalized, i.e.
+``f_j = F_0 + 2 sum_m Re(F_m e^{i m lambda_j})``.
+
+Chirp phase tables are built on host in exact integer arithmetic mod 2L
+(phase = pi * (k^2 mod 2L) / L) so float32 device tables stay accurate at
+large NLOEN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+
+from .realfft import fft_pow2, ifft_pow2
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _chirp(L: int, kk: np.ndarray, sign: float) -> np.ndarray:
+    """exp(sign * i*pi*k^2/L) with exact integer phase reduction mod 2L."""
+    k2 = (kk.astype(np.int64) ** 2) % (2 * L)  # exact: |k| < 3e9 fits int64
+    ph = np.pi * k2.astype(np.float64) / L
+    return np.cos(ph) + 1j * np.sin(ph) * sign
+
+
+def _cmul(ar, ai, br, bi):
+    """Complex multiply on real pairs."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BluesteinTables:
+    """Per-resolution device tables for the batched chirp-z transform.
+
+    All complex tables are stored as (re, im) float pairs.
+    """
+
+    nfft: int
+    mmax: int           # max zonal mode index (nsmax)
+    ndlon: int
+    # synthesis (inverse): C_m -> f_j
+    syn_in_r: Any       # (ndgl, mmax+1): c_m * e^{+i pi m^2/L}, masked m<=nmen
+    syn_in_i: Any
+    syn_bh_r: Any       # (ndgl, nfft): FFT of e^{-i pi k^2/L}
+    syn_bh_i: Any
+    syn_out_r: Any      # (ndgl, ndlon): e^{+i pi j^2/L}, masked j < L
+    syn_out_i: Any
+    # analysis (direct): f_j -> F_m
+    ana_in_r: Any       # (ndgl, ndlon): e^{-i pi j^2/L}, masked j < L
+    ana_in_i: Any
+    ana_bh_r: Any       # (ndgl, nfft): FFT of e^{+i pi k^2/L}
+    ana_bh_i: Any
+    ana_out_r: Any      # (ndgl, mmax+1): (1/L) e^{-i pi m^2/L}, masked
+    ana_out_i: Any
+
+
+@functools.lru_cache(maxsize=8)
+def build_bluestein_tables(grid_key, dtype_str: str) -> BluesteinTables:
+    """grid_key: (nloen tuple, nmen tuple, nsmax). Cached per resolution."""
+    import jax.numpy as jnp
+
+    nloen, nmen, nsmax = grid_key
+    dt = np.dtype(dtype_str)
+    ndgl = len(nloen)
+    mmax = nsmax
+    ndlon = max(nloen)
+    nfft = _next_pow2(ndlon + mmax + 1)
+
+    syn_in = np.zeros((ndgl, mmax + 1), dtype=np.complex128)
+    syn_bh = np.zeros((ndgl, nfft), dtype=np.complex128)
+    syn_out = np.zeros((ndgl, ndlon), dtype=np.complex128)
+    ana_in = np.zeros((ndgl, ndlon), dtype=np.complex128)
+    ana_bh = np.zeros((ndgl, nfft), dtype=np.complex128)
+    ana_out = np.zeros((ndgl, mmax + 1), dtype=np.complex128)
+
+    for l, (L, me) in enumerate(zip(nloen, nmen)):
+        me = min(me, mmax)
+        ms = np.arange(me + 1)
+        js = np.arange(L)
+        # synthesis: f_j = Re[ e^{+i pi j^2/L}
+        #                      sum_m (c_m C_m e^{+i pi m^2/L}) e^{-i pi (j-m)^2/L} ]
+        cm = np.where(ms == 0, 1.0, 2.0)
+        syn_in[l, : me + 1] = cm * _chirp(L, ms, +1.0)
+        ks = np.arange(-mmax, L)  # k = j - m
+        b = np.zeros(nfft, dtype=np.complex128)
+        b[ks % nfft] = _chirp(L, ks, -1.0)
+        syn_bh[l] = np.fft.fft(b)
+        syn_out[l, :L] = _chirp(L, js, +1.0)
+        # analysis: F_m = (1/L) e^{-i pi m^2/L}
+        #                  sum_j (f_j e^{-i pi j^2/L}) e^{+i pi (m-j)^2/L}
+        ana_in[l, :L] = _chirp(L, js, -1.0)
+        ks2 = np.arange(-(L - 1), mmax + 1)  # k = m - j
+        b2 = np.zeros(nfft, dtype=np.complex128)
+        b2[ks2 % nfft] = _chirp(L, ks2, +1.0)
+        ana_bh[l] = np.fft.fft(b2)
+        ana_out[l, : me + 1] = _chirp(L, ms, -1.0) / L
+
+    r = lambda x: jnp.asarray(np.ascontiguousarray(x.real).astype(dt))
+    i = lambda x: jnp.asarray(np.ascontiguousarray(x.imag).astype(dt))
+    return BluesteinTables(
+        nfft=nfft, mmax=mmax, ndlon=ndlon,
+        syn_in_r=r(syn_in), syn_in_i=i(syn_in),
+        syn_bh_r=r(syn_bh), syn_bh_i=i(syn_bh),
+        syn_out_r=r(syn_out), syn_out_i=i(syn_out),
+        ana_in_r=r(ana_in), ana_in_i=i(ana_in),
+        ana_bh_r=r(ana_bh), ana_bh_i=i(ana_bh),
+        ana_out_r=r(ana_out), ana_out_i=i(ana_out),
+    )
+
+
+def tables_for(res, dtype) -> BluesteinTables:
+    import jax.numpy as jnp
+
+    dt = "float64" if jnp.dtype(dtype) == jnp.float64 else "float32"
+    key = (tuple(res.grid.nloen), tuple(int(x) for x in res.nmen), res.nsmax)
+    return build_bluestein_tables(key, dt)
+
+
+def _pad_last(x, n):
+    import jax.numpy as jnp
+
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+
+
+def synthesis(fourier, bt: BluesteinTables):
+    """(nfld, 2, M, ndgl) Fourier coeffs -> grid (nfld, ndgl, ndlon).
+
+    Ragged rows (lat with NLOEN < ndlon) are zero beyond their length.  One
+    batched power-of-two FFT pair of length bt.nfft covers every latitude.
+    """
+    re = fourier[:, 0].swapaxes(1, 2)  # (nfld, ndgl, M)
+    im = fourier[:, 1].swapaxes(1, 2)
+    M = re.shape[-1]
+    ar, ai = _cmul(re, im, bt.syn_in_r[None, :, :M], bt.syn_in_i[None, :, :M])
+    fr, fi = fft_pow2(_pad_last(ar, bt.nfft), _pad_last(ai, bt.nfft), -1)
+    cr, ci = _cmul(fr, fi, bt.syn_bh_r[None], bt.syn_bh_i[None])
+    vr, vi = ifft_pow2(cr, ci)
+    vr, vi = vr[..., : bt.ndlon], vi[..., : bt.ndlon]
+    out = vr * bt.syn_out_r[None] - vi * bt.syn_out_i[None]  # real part only
+    return out.astype(fourier.dtype)
+
+
+def analysis(grid, bt: BluesteinTables, M: int):
+    """grid (nfld, ndgl, ndlon) -> Fourier coeffs (nfld, 2, M, ndgl)."""
+    import jax.numpy as jnp
+
+    ar = grid * bt.ana_in_r[None]
+    ai = grid * bt.ana_in_i[None]
+    fr, fi = fft_pow2(_pad_last(ar, bt.nfft), _pad_last(ai, bt.nfft), -1)
+    cr, ci = _cmul(fr, fi, bt.ana_bh_r[None], bt.ana_bh_i[None])
+    vr, vi = ifft_pow2(cr, ci)
+    vr, vi = vr[..., : bt.mmax + 1], vi[..., : bt.mmax + 1]
+    outr, outi = _cmul(vr, vi, bt.ana_out_r[None], bt.ana_out_i[None])
+    out = jnp.stack([outr[..., :M], outi[..., :M]], axis=1)  # (nfld, 2, ndgl, M)
+    return out.swapaxes(2, 3).astype(grid.dtype)

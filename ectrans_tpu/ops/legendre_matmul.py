@@ -1,0 +1,64 @@
+"""Batched Legendre-transform matmuls (the FLOP core, MXU-targeted).
+
+TPU-native replacement of the reference's per-m GEMM loops (LEINV,
+``leinv_mod.F90:99-185``; LEDIR, ``ledir_mod.F90:126-175``) and of the GPU
+backend's grouped GEMMs (``gpu/internal/leinv_mod.F90:273-317``): one batched
+contraction over all zonal wavenumbers at once, with m as the batch dimension
+of zero-padded (M, ndgnh, K) Legendre tensors.  XLA tiles the batched matmul
+onto the MXU; zero padding only costs FLOPs (~2x triangular waste), never
+correctness, because the padded P̄ entries are exactly zero.
+
+Accumulation is always float32-or-better (``preferred_element_type``), which
+also covers the reference's fp64-for-m=0 mass-conservation concern
+(``ledir_mod.F90:139-172``) when inputs are fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Full fp32 MXU precision (6-pass bf16) by default: the reference computes the
+# Legendre GEMMs in fp32/fp64 (ectrans_blas_mod.F90); TPU's default bf16
+# single-pass einsum loses ~3 decimal digits, which fails the reference's
+# eps-multiple correctness gates.  Pass precision=jax.lax.Precision.DEFAULT
+# explicitly for a fast bf16 mode.
+
+
+def legendre_inv(sym, asym, tables, precision=jax.lax.Precision.HIGHEST):
+    """Inverse Legendre transform: spectral parity coeffs -> Fourier per lat.
+
+    sym/asym: (nfld, 2, M, K); returns fourier (nfld, 2, M, ndgl) with the
+    latitude axis ordered north -> south (recombination north = S + A,
+    south = S - A fused in, reference ASRE1B ``asre1b_mod.F90:84-102``).
+    """
+    acc = jnp.float32 if sym.dtype in (jnp.float32, jnp.bfloat16) else sym.dtype
+    fs = jnp.einsum("mik,fcmk->fcmi", tables.psym, sym,
+                    precision=precision, preferred_element_type=acc).astype(sym.dtype)
+    fa = jnp.einsum("mik,fcmk->fcmi", tables.pasym, asym,
+                    precision=precision, preferred_element_type=acc).astype(sym.dtype)
+    north = fs + fa
+    south = (fs - fa)[..., ::-1]
+    return jnp.concatenate([north, south], axis=-1)
+
+
+def legendre_dir(fourier, tables, precision=jax.lax.Precision.HIGHEST):
+    """Direct Legendre transform: Fourier per lat -> spectral parity coeffs.
+
+    fourier: (nfld, 2, M, ndgl) north->south.  Gaussian quadrature with the
+    ecTrans weights (sum = 1): S_even = sum_i w_i P̄_sym (F_n + F_s),
+    S_odd = sum_i w_i P̄_asym (F_n - F_s) (reference LEDIR with RW weights).
+    Returns (sym, asym) each (nfld, 2, M, K).
+    """
+    ndgnh = tables.psym.shape[1]
+    north = fourier[..., :ndgnh]
+    south = fourier[..., : ndgnh - 1 : -1]  # SH lats reversed to pair with NH
+    w = tables.w[:ndgnh]
+    fsym = (north + south) * w
+    fasym = (north - south) * w
+    acc = jnp.float32 if fourier.dtype in (jnp.float32, jnp.bfloat16) else fourier.dtype
+    sym = jnp.einsum("mik,fcmi->fcmk", tables.psym, fsym,
+                     precision=precision, preferred_element_type=acc).astype(fourier.dtype)
+    asym = jnp.einsum("mik,fcmi->fcmk", tables.pasym, fasym,
+                      precision=precision, preferred_element_type=acc).astype(fourier.dtype)
+    return sym, asym

@@ -1,0 +1,234 @@
+"""Per-resolution immutable state: the TPU-native analogue of ecTrans's TPM
+modules (``tpm_dim.F90`` R, ``tpm_geometry.F90`` G, ``tpm_fields.F90`` F,
+``tpm_distr.F90`` D) and of SETUP_TRANS (``setup_trans.F90``).
+
+All precomputation happens on host in float64 NumPy; ``device_tables()``
+returns a pytree of jnp arrays in the requested compute dtype, ready to be
+closed over by jitted transforms.
+
+Spectral storage layouts
+------------------------
+* **packed** (user-facing, ecTrans-compatible): real array ``(nfld, nspec2)``
+  ordered m-major, n ascending within m, (re, im) interleaved — the NASM0
+  addressing of ``suwavedi_mod.F90``.
+* **dense** (internal work layout): real array ``(nfld, 2, M, NP)`` with
+  ``M = nsmax+1`` zonal wavenumbers and ``NP = nsmax+2`` absolute-n rows
+  (n = 0..nsmax+1; entries with n < m are zero).  The absolute-n layout makes
+  the n±1 recurrences (VDTUV/SPNSDE/UVTVD) uniform shifts across all m.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+
+from .grids import GridSpec, make_grid
+from .legendre import compute_legendre_table, eps_table, split_parity
+
+EARTH_RADIUS = 6371229.0  # metres; reference default RA (setup_trans0.F90)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: ndarray fields
+class Resolution:
+    """Everything needed to transform at one (grid, truncation) resolution."""
+
+    grid: GridSpec
+    radius: float
+
+    # --- host tables (numpy float64/int32) ---
+    mu: np.ndarray          # (ndgl,) sin(lat), north -> south
+    w: np.ndarray           # (ndgl,) Gaussian weights, sum = 1
+    nmen: np.ndarray        # (ndgl,) per-lat zonal truncation
+    ndglu: np.ndarray       # (M,) NH lats active per m
+    psym: np.ndarray        # (M, ndgnh, K) symmetric P̄ (n-m even)
+    pasym: np.ndarray       # (M, ndgnh, K) antisymmetric P̄ (n-m odd)
+    kmax: int               # padded parity extent K
+    eps: np.ndarray         # (M, NP+2) eps(n,m)
+    rlapin: np.ndarray      # (NP+1,) -a^2/(n(n+1)), 0 at n=0
+    racthe: np.ndarray      # (ndgl,) 1/(a cos(theta))
+    # packed<->dense index maps
+    nasm0: np.ndarray       # (M,) offset of (m, n=m, re) in packed layout
+    dense_gather: np.ndarray    # (2, M, NP) int32 index into packed (+pad) or -1
+    packed_gather_c: np.ndarray  # (nspec2,) c-index (0 re / 1 im)
+    packed_gather_m: np.ndarray  # (nspec2,) m-index
+    packed_gather_n: np.ndarray  # (nspec2,) n-index
+    idx_sym: np.ndarray     # (M, K) absolute n for symmetric coeffs (or NP, the zero row)
+    idx_asym: np.ndarray    # (M, K)
+
+    # ------------------------------------------------------------------
+    @property
+    def nsmax(self) -> int:
+        return self.grid.nsmax
+
+    @property
+    def ntmax(self) -> int:
+        return self.grid.nsmax
+
+    @property
+    def M(self) -> int:
+        return self.grid.nsmax + 1
+
+    @property
+    def NP(self) -> int:
+        """Dense n-rows: n = 0 .. nsmax+1 (u/v spectra extend to nsmax+1)."""
+        return self.grid.nsmax + 2
+
+    @property
+    def ndgl(self) -> int:
+        return self.grid.ndgl
+
+    @property
+    def ndgnh(self) -> int:
+        return self.grid.ndgnh
+
+    @property
+    def nspec2(self) -> int:
+        return self.grid.nspec2
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=4)
+    def device_tables(self, dtype: Any = np.float32) -> "DeviceTables":
+        import jax.numpy as jnp
+
+        f = lambda x: jnp.asarray(x, dtype=dtype)
+        i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        return DeviceTables(
+            psym=f(self.psym),
+            pasym=f(self.pasym),
+            w=f(self.w),
+            eps=f(self.eps),
+            rlapin=f(self.rlapin),
+            racthe=f(self.racthe),
+            nmen=i(self.nmen),
+            dense_gather=i(self.dense_gather),
+            packed_gather_c=i(self.packed_gather_c),
+            packed_gather_m=i(self.packed_gather_m),
+            packed_gather_n=i(self.packed_gather_n),
+            idx_sym=i(self.idx_sym),
+            idx_asym=i(self.idx_asym),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceTables:
+    """Device-resident arrays (the analogue of the GPU backend's FG state,
+    tpm_fields_gpu.F90)."""
+
+    psym: Any
+    pasym: Any
+    w: Any
+    eps: Any
+    rlapin: Any
+    racthe: Any
+    nmen: Any
+    dense_gather: Any
+    packed_gather_c: Any
+    packed_gather_m: Any
+    packed_gather_n: Any
+    idx_sym: Any
+    idx_asym: Any
+
+
+def _build_packed_maps(nsmax: int, NP: int):
+    """Index maps between packed (NASM0) and dense (c, m, n) layouts."""
+    M = nsmax + 1
+    nasm0 = np.zeros(M, dtype=np.int64)
+    off = 0
+    for m in range(M):
+        nasm0[m] = off
+        off += 2 * (nsmax - m + 1)
+    nspec2 = off
+
+    dense_gather = np.full((2, M, NP), -1, dtype=np.int64)
+    pc = np.zeros(nspec2, dtype=np.int64)
+    pm = np.zeros(nspec2, dtype=np.int64)
+    pn = np.zeros(nspec2, dtype=np.int64)
+    for m in range(M):
+        for n in range(m, nsmax + 1):
+            base = nasm0[m] + 2 * (n - m)
+            dense_gather[0, m, n] = base
+            dense_gather[1, m, n] = base + 1
+            pc[base], pm[base], pn[base] = 0, m, n
+            pc[base + 1], pm[base + 1], pn[base + 1] = 1, m, n
+    # map -1 to an extra zero slot appended by the converter
+    dense_gather = np.where(dense_gather < 0, nspec2, dense_gather)
+    return nasm0, dense_gather, pc, pm, pn
+
+
+def _build_parity_maps(nsmax: int, NP: int, kmax: int):
+    """idx_sym[m,k] = m+2k (absolute n), idx_asym[m,k] = m+1+2k; NP = zero row."""
+    M = nsmax + 1
+    idx_sym = np.full((M, kmax), NP, dtype=np.int64)
+    idx_asym = np.full((M, kmax), NP, dtype=np.int64)
+    nmax = NP - 1  # = nsmax+1
+    for m in range(M):
+        ks = np.arange((nmax - m) // 2 + 1)
+        idx_sym[m, : ks.size] = m + 2 * ks
+        ka = np.arange((nmax - m - 1) // 2 + 1) if m + 1 <= nmax else np.arange(0)
+        idx_asym[m, : ka.size] = m + 1 + 2 * ka
+    return idx_sym, idx_asym
+
+
+@functools.lru_cache(maxsize=16)
+def setup(grid_or_name: Any, nsmax: int | None = None, radius: float = EARTH_RADIUS) -> Resolution:
+    """Build a Resolution (the SETUP_TRANS equivalent).
+
+    ``setup("O48", 47)`` or ``setup("TCO159")`` or ``setup(GridSpec(...))``.
+    Heavy host precompute (Gauss nodes, Legendre tables) is cached in-process;
+    see ``ectrans_tpu.cache`` for the on-disk legpol cache.
+    """
+    if isinstance(grid_or_name, GridSpec):
+        grid = grid_or_name
+    else:
+        grid = make_grid(grid_or_name, nsmax)
+    return _setup_from_grid(grid, radius)
+
+
+def _setup_from_grid(grid: GridSpec, radius: float) -> Resolution:
+    nsmax = grid.nsmax
+    M = nsmax + 1
+    NP = nsmax + 2
+    mu, w = grid.gauss()
+    nmen = grid.nmen()
+    ndglu = grid.ndglu()
+    mu_nh = mu[: grid.ndgnh]
+
+    from .cache import load_legendre_cached
+
+    ptable = load_legendre_cached(grid, mu_nh, nmen[: grid.ndgnh])
+    psym, pasym, kmax = split_parity(ptable, nsmax)
+
+    eps = eps_table(nsmax, 3)
+    n_arr = np.arange(NP + 1, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        rlapin = np.where(n_arr > 0, -(radius * radius) / (n_arr * (n_arr + 1.0)), 0.0)
+    costh = np.sqrt(np.maximum(1e-300, 1.0 - mu * mu))
+    racthe = 1.0 / costh / radius
+
+    nasm0, dense_gather, pc, pm, pn = _build_packed_maps(nsmax, NP)
+    idx_sym, idx_asym = _build_parity_maps(nsmax, NP, kmax)
+
+    return Resolution(
+        grid=grid,
+        radius=radius,
+        mu=mu,
+        w=w,
+        nmen=nmen,
+        ndglu=ndglu,
+        psym=psym,
+        pasym=pasym,
+        kmax=kmax,
+        eps=eps,
+        rlapin=rlapin,
+        racthe=racthe,
+        nasm0=nasm0,
+        dense_gather=dense_gather,
+        packed_gather_c=pc,
+        packed_gather_m=pm,
+        packed_gather_n=pn,
+        idx_sym=idx_sym,
+        idx_asym=idx_asym,
+    )

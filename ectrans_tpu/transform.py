@@ -1,0 +1,217 @@
+"""Single-device inverse and direct spectral transforms.
+
+TPU-native re-design of the reference transform pipeline
+(``inv_trans_ctl_mod.F90`` / ``dir_trans_ctl_mod.F90`` and the batched GPU
+variant ``gpu/internal/inv_trans_ctl_mod.F90:160-236``): every stage operates
+on whole (field, wavenumber, latitude) tensors at once — there are no per-m
+or per-latitude loops, and XLA fuses the elementwise stages (FSC scaling,
+recombination) into the surrounding matmuls/FFTs.
+
+Inverse pipeline (spectral -> grid):
+    packed -> dense -> [VDTUV winds] -> [SPNSDE N-S derivs] -> parity split
+    -> batched inverse Legendre matmul -> FSC (1/(a cos) scaling + E-W derivs)
+    -> batched (i)rfft / Bluestein -> grid
+
+Direct pipeline (grid -> spectral) is the exact mirror with Gaussian
+quadrature and UVTVD.
+
+Field ordering of the combined grid output follows the reference contract
+(``inv_trans.F90:58-106``): vor?, div?, u, v, scalars, N-S derivs of
+scalars?, E-W derivs of u and v?, E-W derivs of scalars?.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import fourier, layout, legendre_matmul, spectral
+from .resolution import Resolution
+
+
+@dataclasses.dataclass(frozen=True)
+class InvFlags:
+    vorgp: bool = False     # output grid-point vorticity (LDVORGP)
+    divgp: bool = False     # output grid-point divergence (LDDIVGP)
+    scders: bool = False    # output N-S and E-W derivatives of scalars
+    uvders: bool = False    # output E-W derivatives of u, v (LDUVDER)
+
+
+def num_inv_output_fields(nfld_uv: int, nfld_sc: int, flags: InvFlags) -> int:
+    n = 0
+    if nfld_uv:
+        n += nfld_uv * (2 + int(flags.vorgp) + int(flags.divgp))
+        if flags.uvders:
+            n += 2 * nfld_uv
+    if nfld_sc:
+        n += nfld_sc * (3 if flags.scders else 1)
+    return n
+
+
+@functools.lru_cache(maxsize=64)
+def _coeff_tables(res: Resolution, dtype_str: str):
+    dtype = jnp.dtype(dtype_str)
+    return dict(
+        vd=spectral.vordiv_coeff_tables(res, dtype),
+        uvtvd=spectral.uvtvd_coeff_tables(res, dtype),
+        nsd=spectral.nsder_coeff_tables(res, dtype),
+    )
+
+
+def _fourier_synthesis(res, tables, four, dtype):
+    return fourier.synthesis(four, fourier.tables_for(res, dtype))
+
+
+def _fourier_analysis(res, tables, grid, dtype):
+    return fourier.analysis(grid, fourier.tables_for(res, dtype), res.M)
+
+
+def _ew_derivative(four, racthe):
+    """i*m*F scaled by 1/(a cos): Fourier-space E-W derivative (FSC 2.x)."""
+    M = four.shape[2]
+    mvec = jnp.arange(M, dtype=four.dtype)[None, :, None]
+    re, im = four[:, 0], four[:, 1]
+    return jnp.stack([-im * mvec, re * mvec], axis=1) * racthe
+
+
+def _check_spec(name, arr, res):
+    if arr is not None and (arr.ndim != 2 or arr.shape[1] != res.nspec2):
+        raise ValueError(
+            f"{name} must have shape (nfld, nspec2={res.nspec2}), got {arr.shape}"
+        )
+
+
+def _check_grid_arg(name, arr, res):
+    if arr is not None and (
+        arr.ndim != 3
+        or arr.shape[1] != res.ndgl
+        or arr.shape[2] != res.grid.ndlon
+    ):
+        raise ValueError(
+            f"{name} must have shape (nfld, ndgl={res.ndgl}, "
+            f"ndlon={res.grid.ndlon}), got {arr.shape}"
+        )
+
+
+def inv_trans(
+    res: Resolution,
+    spvor=None,
+    spdiv=None,
+    spscalar=None,
+    *,
+    flags: InvFlags = InvFlags(),
+    dtype=jnp.float32,
+):
+    """Inverse transform: packed spectral arrays -> grid fields.
+
+    spvor/spdiv: (nfld_uv, nspec2); spscalar: (nfld_sc, nspec2).
+    Returns (nfld_out, ndgl, ndlon) with the reference PGP field ordering.
+    """
+    if (spvor is None) != (spdiv is None):
+        raise ValueError("spvor and spdiv must be supplied together")
+    if spvor is not None and spvor.shape != spdiv.shape:
+        raise ValueError(f"spvor/spdiv shape mismatch: {spvor.shape} vs {spdiv.shape}")
+    if spvor is None and spscalar is None:
+        raise ValueError("nothing to transform: pass spvor/spdiv and/or spscalar")
+    for nm, arr in (("spvor", spvor), ("spdiv", spdiv), ("spscalar", spscalar)):
+        _check_spec(nm, arr, res)
+    dtype = jnp.dtype(dtype)
+    tables = res.device_tables(dtype)
+    ct = _coeff_tables(res, str(dtype))
+    racthe = tables.racthe[None, None, None, :]  # broadcast over (f, c, m, lat)
+
+    four_groups = []       # list of (fourier_tensor, scale_by_racthe: bool)
+    nfld_uv = spvor.shape[0] if spvor is not None else 0
+    nfld_sc = spscalar.shape[0] if spscalar is not None else 0
+
+    def lt(dense):
+        sym, asym = layout.dense_to_parity(dense, tables)
+        return legendre_matmul.legendre_inv(sym, asym, tables)
+
+    out_groups = []  # ordered (name, fourier tensor) matching PGP contract
+    uv_four = None
+    if nfld_uv:
+        dvor = layout.packed_to_dense(spvor.astype(dtype), tables)
+        ddiv = layout.packed_to_dense(spdiv.astype(dtype), tables)
+        du, dv = spectral.vordiv_to_uv(dvor, ddiv, ct["vd"])
+        if flags.vorgp:
+            out_groups.append(lt(dvor))
+        if flags.divgp:
+            out_groups.append(lt(ddiv))
+        uv_four = lt(jnp.concatenate([du, dv], axis=0)) * racthe
+        out_groups.append(uv_four)
+    sc_four = None
+    if nfld_sc:
+        dsc = layout.packed_to_dense(spscalar.astype(dtype), tables)
+        sc_four = lt(dsc)
+        out_groups.append(sc_four)
+        if flags.scders:
+            dnsd = spectral.ns_derivative(dsc, ct["nsd"])
+            out_groups.append(lt(dnsd) * racthe)
+    if nfld_uv and flags.uvders:
+        out_groups.append(_ew_derivative(uv_four, racthe))
+    if nfld_sc and flags.scders:
+        out_groups.append(_ew_derivative(sc_four, racthe))
+
+    four = jnp.concatenate(out_groups, axis=0)
+    return _fourier_synthesis(res, tables, four, dtype)
+
+
+def dir_trans(
+    res: Resolution,
+    u=None,
+    v=None,
+    scalars=None,
+    *,
+    dtype=jnp.float32,
+):
+    """Direct transform: grid fields -> packed spectral arrays.
+
+    u/v: (nfld_uv, ndgl, ndlon) grid winds; scalars: (nfld_sc, ndgl, ndlon).
+    Returns (spvor, spdiv, spscalar) packed arrays (None where no input).
+    """
+    if (u is None) != (v is None):
+        raise ValueError("u and v must be supplied together")
+    if u is not None and u.shape != v.shape:
+        raise ValueError(f"u/v shape mismatch: {u.shape} vs {v.shape}")
+    if u is None and scalars is None:
+        raise ValueError("nothing to transform: pass u/v and/or scalars")
+    for nm, arr in (("u", u), ("v", v), ("scalars", scalars)):
+        _check_grid_arg(nm, arr, res)
+    dtype = jnp.dtype(dtype)
+    tables = res.device_tables(dtype)
+    ct = _coeff_tables(res, str(dtype))
+    racthe = tables.racthe[None, None, None, :]
+
+    nfld_uv = u.shape[0] if u is not None else 0
+    parts = []
+    if nfld_uv:
+        parts.append(u.astype(dtype))
+        parts.append(v.astype(dtype))
+    if scalars is not None:
+        parts.append(scalars.astype(dtype))
+    grid = jnp.concatenate(parts, axis=0)
+
+    four = _fourier_analysis(res, tables, grid, dtype)
+    if nfld_uv:
+        # LDFOU2: scale u, v Fourier coefficients by 1/(a cos(theta))
+        uvpart = four[: 2 * nfld_uv] * racthe
+        four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
+
+    sym, asym = legendre_matmul.legendre_dir(four, tables)
+    dense = layout.parity_to_dense(sym, asym, tables, res.NP)
+
+    spvor = spdiv = spsc = None
+    if nfld_uv:
+        du = dense[:nfld_uv]
+        dv = dense[nfld_uv : 2 * nfld_uv]
+        dvor, ddiv = spectral.uv_to_vordiv(du, dv, ct["uvtvd"])
+        spvor = layout.dense_to_packed(dvor, tables)
+        spdiv = layout.dense_to_packed(ddiv, tables)
+    if scalars is not None:
+        spsc = layout.dense_to_packed(dense[2 * nfld_uv :], tables)
+    return spvor, spdiv, spsc

@@ -1,0 +1,107 @@
+"""Round-trip and analytic-spectrum correctness of the core transforms.
+
+Modeled on the reference's benchmark-driven functional tests
+(ectrans-benchmark.F90:850-860: spectral-norm error vs an analytically known
+initial condition below a machine-eps multiple).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.special as sp
+
+import ectrans_tpu as et
+from ectrans_tpu.ops import fourier as four_ops
+
+
+def random_packed(res, nfld, seed=0):
+    """Random spectral state with reference constraints: m=0 imag parts zero."""
+    rng = np.random.default_rng(seed)
+    spec = rng.standard_normal((nfld, res.nspec2))
+    # zero imaginary parts of m=0 coefficients
+    n0 = res.grid.nsmax + 1
+    spec[:, 1 : 2 * n0 : 2] = 0.0
+    return spec
+
+
+@pytest.mark.parametrize("gridname,nsmax,tol", [
+    ("F24", 47, 1e-11),
+    ("F32", 47, 1e-11),
+    # reduced grids: the per-m latitude restriction (reference NDGLU,
+    # setup_geom_mod.F90) makes quadrature orthogonality inexact at ~1e-10
+    ("O48", 47, 1e-8),
+])
+def test_scalar_roundtrip(gridname, nsmax, tol):
+    res = et.setup(gridname, nsmax)
+    spec = random_packed(res, 3)
+    grid = et.inv_trans(res, spscalar=jnp.asarray(spec), dtype=jnp.float64)
+    _, _, spec2 = et.dir_trans(res, scalars=grid, dtype=jnp.float64)
+    err = np.max(np.abs(np.asarray(spec2) - spec))
+    assert err < tol, f"roundtrip error {err}"
+
+
+def test_analytic_spherical_harmonic():
+    """inv_trans of a single (m, n) coefficient must equal the analytic Y_n^m."""
+    res = et.setup("F24", 47)
+    mu, _ = res.grid.gauss()
+    nlon = res.grid.ndlon
+    lam = 2 * np.pi * np.arange(nlon) / nlon
+    for m, n, comp in [(0, 0, 0), (0, 5, 0), (3, 7, 0), (3, 7, 1), (21, 40, 1)]:
+        spec = np.zeros((1, res.nspec2))
+        spec[0, res.nasm0[m] + 2 * (n - m) + comp] = 1.0
+        grid = np.asarray(et.inv_trans(res, spscalar=jnp.asarray(spec), dtype=jnp.float64))[0]
+        # analytic: Re[ c_m * (re + i*im) * P̄_n^m(mu) * e^{i m lambda} ]
+        from math import factorial
+
+        norm = np.sqrt((2 * n + 1) * factorial(n - m) / factorial(n + m))
+        pbar = sp.lpmv(m, n, mu) * ((-1) ** m) * norm
+        cm = 1.0 if m == 0 else 2.0
+        coeff = 1.0 if comp == 0 else 1.0j
+        expect = cm * np.real(coeff * np.exp(1j * m * lam)[None, :]) * pbar[:, None]
+        err = np.max(np.abs(grid - expect))
+        assert err < 1e-12, (m, n, comp, err)
+
+
+def test_direct_analytic():
+    """dir_trans of an analytic Y_n^m field recovers the single coefficient."""
+    res = et.setup("F24", 47)
+    mu, _ = res.grid.gauss()
+    nlon = res.grid.ndlon
+    lam = 2 * np.pi * np.arange(nlon) / nlon
+    from math import factorial
+
+    m, n = 4, 11
+    norm = np.sqrt((2 * n + 1) * factorial(n - m) / factorial(n + m))
+    pbar = sp.lpmv(m, n, mu) * ((-1) ** m) * norm
+    f = 2.0 * np.cos(m * lam)[None, :] * pbar[:, None]
+    _, _, spec = et.dir_trans(res, scalars=jnp.asarray(f[None]), dtype=jnp.float64)
+    spec = np.asarray(spec)[0]
+    expect = np.zeros(res.nspec2)
+    expect[res.nasm0[m] + 2 * (n - m)] = 1.0
+    err = np.max(np.abs(spec - expect))
+    assert err < 1e-12, err
+
+
+def test_reduced_grid_roundtrip_matches_full_where_resolved():
+    """On O48 with T47 truncation every spectral mode survives a round trip."""
+    res = et.setup("O48", 47)
+    spec = random_packed(res, 2, seed=1)
+    grid = et.inv_trans(res, spscalar=jnp.asarray(spec), dtype=jnp.float64)
+    _, _, spec2 = et.dir_trans(res, scalars=grid, dtype=jnp.float64)
+    err = np.max(np.abs(np.asarray(spec2) - spec))
+    assert err < 1e-8, err
+
+
+def test_fp32_roundtrip_tolerance():
+    """fp32 path accuracy comparable to the reference single-precision build."""
+    res = et.setup("F24", 47)
+    spec = random_packed(res, 2, seed=2).astype(np.float32)
+    grid = et.inv_trans(res, spscalar=jnp.asarray(spec), dtype=jnp.float32)
+    _, _, spec2 = et.dir_trans(res, scalars=grid, dtype=jnp.float32)
+    err = np.max(np.abs(np.asarray(spec2) - spec))
+    assert err < 5e-4, err
+
+
+def test_next_pow2():
+    for n, expect in [(1, 1), (5, 8), (8, 8), (97, 128), (6417, 8192)]:
+        assert four_ops._next_pow2(n) == expect
