@@ -76,12 +76,12 @@ class BluesteinTables:
 
 
 @functools.lru_cache(maxsize=8)
-def build_bluestein_tables(grid_key, dtype_str: str) -> BluesteinTables:
-    """grid_key: (nloen tuple, nmen tuple, nsmax). Cached per resolution."""
-    import jax.numpy as jnp
+def host_bluestein_tables(nloen: tuple, nmen: tuple, nsmax: int) -> dict:
+    """Host (numpy float64) chirp tables keyed for the sharded distribution.
 
-    nloen, nmen, nsmax = grid_key
-    dt = np.dtype(dtype_str)
+    Array values all have the latitude axis first (ndgl, ...), so a
+    distributed transform can shard/pad them along latitude blocks.
+    """
     ndgl = len(nloen)
     mmax = nsmax
     ndlon = max(nloen)
@@ -116,17 +116,36 @@ def build_bluestein_tables(grid_key, dtype_str: str) -> BluesteinTables:
         ana_bh[l] = np.fft.fft(b2)
         ana_out[l, : me + 1] = _chirp(L, ms, -1.0) / L
 
-    r = lambda x: jnp.asarray(np.ascontiguousarray(x.real).astype(dt))
-    i = lambda x: jnp.asarray(np.ascontiguousarray(x.imag).astype(dt))
-    return BluesteinTables(
+    return dict(
         nfft=nfft, mmax=mmax, ndlon=ndlon,
-        syn_in_r=r(syn_in), syn_in_i=i(syn_in),
-        syn_bh_r=r(syn_bh), syn_bh_i=i(syn_bh),
-        syn_out_r=r(syn_out), syn_out_i=i(syn_out),
-        ana_in_r=r(ana_in), ana_in_i=i(ana_in),
-        ana_bh_r=r(ana_bh), ana_bh_i=i(ana_bh),
-        ana_out_r=r(ana_out), ana_out_i=i(ana_out),
+        syn_in_r=np.ascontiguousarray(syn_in.real),
+        syn_in_i=np.ascontiguousarray(syn_in.imag),
+        syn_bh_r=np.ascontiguousarray(syn_bh.real),
+        syn_bh_i=np.ascontiguousarray(syn_bh.imag),
+        syn_out_r=np.ascontiguousarray(syn_out.real),
+        syn_out_i=np.ascontiguousarray(syn_out.imag),
+        ana_in_r=np.ascontiguousarray(ana_in.real),
+        ana_in_i=np.ascontiguousarray(ana_in.imag),
+        ana_bh_r=np.ascontiguousarray(ana_bh.real),
+        ana_bh_i=np.ascontiguousarray(ana_bh.imag),
+        ana_out_r=np.ascontiguousarray(ana_out.real),
+        ana_out_i=np.ascontiguousarray(ana_out.imag),
     )
+
+
+@functools.lru_cache(maxsize=8)
+def build_bluestein_tables(grid_key, dtype_str: str) -> BluesteinTables:
+    """Device tables; grid_key: (nloen tuple, nmen tuple, nsmax)."""
+    import jax.numpy as jnp
+
+    nloen, nmen, nsmax = grid_key
+    dt = np.dtype(dtype_str)
+    h = host_bluestein_tables(nloen, nmen, nsmax)
+    cast = {
+        k: (jnp.asarray(v.astype(dt)) if isinstance(v, np.ndarray) else v)
+        for k, v in h.items()
+    }
+    return BluesteinTables(**cast)
 
 
 def tables_for(res, dtype) -> BluesteinTables:

@@ -1,0 +1,159 @@
+"""Distributed-transform bookkeeping: the TPU-native SUWAVEDI/SUMPLAT.
+
+Builds, on host, everything a (w, v) mesh needs to run sharded transforms:
+
+* **Wave distribution** (reference ``suwavedi_mod.F90:115-131``): zonal
+  wavenumbers are assigned to the ``w`` blocks in boustrophedon ("ping-pong")
+  order so each block's total coefficient count (nsmax - m + 1 shrinks with
+  m) is balanced; the assignment is materialized as a permutation of the m
+  axis so every block is a *contiguous* slice of the permuted axis — the
+  sharding-friendly equivalent of MYMS/NUMP.
+* **Latitude distribution** (reference ``sumplatf_mod.F90``): contiguous
+  latitude blocks, padded so ndgl divides w*v; padded latitudes carry zero
+  quadrature weight / zero chirp rows and therefore contribute nothing.
+* **Permuted, padded device tables**: Legendre tensors, recurrence
+  coefficient tables, layout index maps and Bluestein chirp tables, laid out
+  so that sharding them over ("w",) is a plain contiguous split.
+
+Everything is returned as numpy; ``device_tables`` in ``sharded.py`` places
+them on the mesh with the right ``NamedSharding``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from ..resolution import Resolution
+from ..ops import spectral as spectral_ops
+
+
+def pingpong_blocks(M: int, w: int) -> list[list[int]]:
+    """Boustrophedon assignment of m=0..M-1 to w blocks (suwavedi ping-pong)."""
+    blocks: list[list[int]] = [[] for _ in range(w)]
+    i = 0
+    for m in range(M):
+        cycle, pos = divmod(i, w)
+        b = pos if cycle % 2 == 0 else w - 1 - pos
+        blocks[b].append(m)
+        i += 1
+    return blocks
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Distribution:
+    """Host-side distributed layout for one (Resolution, w, v) combination."""
+
+    res: Resolution
+    w: int
+    v: int
+
+    M_pad: int              # padded wavenumber count (multiple of w)
+    ndgl_pad: int           # padded latitude count (multiple of w*v)
+    perm: np.ndarray        # (M_pad,) permuted m values; res.M marks padding
+    pos_of_m: np.ndarray    # (M,) position of natural m in the permuted axis
+    pm_perm_pos: np.ndarray  # (nspec2,) permuted-axis position per packed idx
+
+    @property
+    def ML(self) -> int:
+        return self.M_pad // self.w
+
+    @property
+    def LL(self) -> int:
+        return self.ndgl_pad // self.w
+
+
+@functools.lru_cache(maxsize=8)
+def build_distribution(res: Resolution, w: int, v: int) -> Distribution:
+    M = res.M
+    blocks = pingpong_blocks(M, w)
+    ML = -(-M // w)
+    perm = np.full(w * ML, M, dtype=np.int64)  # M = padding sentinel
+    for b, ms in enumerate(blocks):
+        perm[b * ML : b * ML + len(ms)] = ms
+    pos_of_m = np.zeros(M, dtype=np.int64)
+    for pos, m in enumerate(perm):
+        if m < M:
+            pos_of_m[m] = pos
+    pm_perm_pos = pos_of_m[res.packed_gather_m]
+
+    wv = w * v
+    ndgl_pad = -(-res.ndgl // wv) * wv
+
+    return Distribution(
+        res=res, w=w, v=v, M_pad=w * ML, ndgl_pad=ndgl_pad,
+        perm=perm, pos_of_m=pos_of_m, pm_perm_pos=pm_perm_pos,
+    )
+
+
+def _permute_m_rows(table: np.ndarray, perm: np.ndarray, pad_value=0.0):
+    """table (M, ...) -> (M_pad, ...) with rows reordered by perm; padding
+    rows (perm == M) filled with pad_value."""
+    M = table.shape[0]
+    padded = np.concatenate(
+        [table, np.full((1,) + table.shape[1:], pad_value, table.dtype)], axis=0
+    )
+    return padded[np.minimum(perm, M)]
+
+
+def host_tables(dist: Distribution) -> dict:
+    """All numpy tables for the sharded pipeline, in permuted/padded layout.
+
+    Keys ending in ``_w`` are sharded over mesh axis "w" on their first
+    (or stated) axis; others are replicated.
+    """
+    res = dist.res
+    M, NP = res.M, res.NP
+    perm = dist.perm
+
+    ct_vd = {k: np.asarray(val) for k, val in _np_tables(spectral_ops.vordiv_coeff_tables, res)}
+    ct_tv = {k: np.asarray(val) for k, val in _np_tables(spectral_ops.uvtvd_coeff_tables, res)}
+    ct_ns = {k: np.asarray(val) for k, val in _np_tables(spectral_ops.nsder_coeff_tables, res)}
+
+    out = {
+        # Legendre tensors (M_pad, ndgnh, K)
+        "psym_w": _permute_m_rows(res.psym, perm),
+        "pasym_w": _permute_m_rows(res.pasym, perm),
+        # layout index maps
+        "dense_gather_w": _permute_m_rows(
+            res.dense_gather.transpose(1, 0, 2), perm, pad_value=res.nspec2
+        ),  # (M_pad, 2, NP) -> transposed back in sharded.py
+        "idx_sym_w": _permute_m_rows(res.idx_sym, perm, pad_value=NP),
+        "idx_asym_w": _permute_m_rows(res.idx_asym, perm, pad_value=NP),
+        # spectral-operator coefficient tables (M_pad, NP)
+        **{f"vd_{k}_w": _permute_m_rows(val, perm) for k, val in ct_vd.items()},
+        **{f"tv_{k}_w": _permute_m_rows(val, perm) for k, val in ct_tv.items()},
+        **{f"ns_{k}_w": _permute_m_rows(val, perm) for k, val in ct_ns.items()},
+        # replicated
+        "wq": res.w[: res.grid.ndgnh],                 # quadrature weights (NH)
+        "mval": np.where(perm < M, perm, 0).astype(np.float64),  # (M_pad,)
+        "pos_of_m": dist.pos_of_m,                      # (M,)
+        "perm": perm,                                   # (M_pad,)
+        "packed_c": res.packed_gather_c,
+        "packed_n": res.packed_gather_n,
+        "pm_perm_pos": dist.pm_perm_pos,
+    }
+
+    # per-latitude tables, padded to ndgl_pad (pad rows are zero): racthe and
+    # the Bluestein chirp tables, sharded over "w" on the latitude axis
+    from ..ops.fourier import host_bluestein_tables
+
+    npad = dist.ndgl_pad - res.ndgl
+    bt = host_bluestein_tables(
+        tuple(res.grid.nloen), tuple(int(x) for x in res.nmen), res.nsmax
+    )
+    for k, val in bt.items():
+        if isinstance(val, np.ndarray):
+            out[f"bt_{k}_lat_w"] = np.pad(val, [(0, npad)] + [(0, 0)] * (val.ndim - 1))
+        else:
+            out[f"bt_{k}"] = val
+    out["racthe_lat_w"] = np.pad(res.racthe, (0, npad))
+    return out
+
+
+def _np_tables(fn, res):
+    """Call a coeff-table builder in float64 and yield numpy items."""
+    d = fn(res, dtype=np.float64)
+    return [(k, np.asarray(v)) for k, v in d.items()]

@@ -1,0 +1,402 @@
+"""Distributed spectral transforms over a (w, v) TPU mesh.
+
+TPU-native redesign of the reference's MPI transposition layer: the four
+communication phases become two ``lax.all_to_all`` pairs inside one
+``shard_map`` — XLA schedules them on ICI and can overlap them with compute:
+
+  reference                          here
+  ---------------------------------- -----------------------------------------
+  TRMTOL  (m-distributed -> lat)     all_to_all over "w": split lat, concat m
+  TRLTOM  (lat -> m-distributed)     all_to_all over "w": split m, concat lat
+  TRLTOG  (lat -> grid columns)      all_to_all over "v": split lat, concat fld
+  TRGTOL  (grid columns -> lat)      all_to_all over "v": split fld, concat lat
+  UPDSP + spectral gather            masked local scatter + psum over "w"
+
+(reference: ``trmtol_mod.F90:101-127``, ``trltog_mod.F90``, and the GPU
+pack/unpack kernels ``trmtol_pack_unpack.F90`` — the packing here is plain
+static gathers/reshapes that XLA fuses.)
+
+Data placement per phase (per device of the w x v mesh):
+
+* spectral: packed arrays (nfld/v, nspec2), fields sharded over "v",
+  replicated over "w" (each w-rank reads only its own m rows).
+* wave space: (nfld/v, 2, M_pad/w, ndgl) — m-blocks over "w" (balanced,
+  contiguous in the permuted m axis from ``distribution.pingpong_blocks``).
+* Fourier space: (nfld/v, 2, M, ndgl_pad/w) — latitudes over "w".
+* grid space: (nfld, ndgl_pad/(w*v), ndlon) — all fields, latitudes over
+  both axes; equals a global array with NamedSharding P(None, ("w","v"), None).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from types import SimpleNamespace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..resolution import Resolution
+from ..transform import InvFlags
+from ..ops import legendre_matmul, spectral
+from ..ops.fourier import BluesteinTables, synthesis, analysis
+from .distribution import build_distribution, host_tables
+
+_INT_KEYS = ("idx_sym_w", "idx_asym_w", "dense_gather_w", "pos_of_m", "perm",
+             "packed_c", "packed_n", "pm_perm_pos")
+
+
+class ShardedTransform:
+    """Distributed inverse/direct spectral transforms on a (w, v) mesh.
+
+    The single-device ``transform.inv_trans``/``dir_trans`` and this class
+    produce identical results (decomposition invariance) — see
+    tests/test_sharded.py.
+    """
+
+    def __init__(self, res: Resolution, mesh: Mesh, dtype=jnp.float32):
+        if tuple(mesh.axis_names) != ("w", "v"):
+            raise ValueError(f'mesh must have axes ("w", "v"), got {mesh.axis_names}')
+        self.res = res
+        self.mesh = mesh
+        self.dtype = jnp.dtype(dtype)
+        self.w = mesh.shape["w"]
+        self.v = mesh.shape["v"]
+        self.dist = build_distribution(res, self.w, self.v)
+        self._place_tables()
+        self._inv_jit = {}
+        self._dir_jit = None
+
+    # ------------------------------------------------------------------
+    def _place_tables(self):
+        host = host_tables(self.dist)
+        dev, specs = {}, {}
+        for k, val in host.items():
+            if not isinstance(val, np.ndarray):
+                continue  # scalars (nfft etc.) stay python ints
+            if k in _INT_KEYS:
+                arr = val.astype(np.int32)
+            elif val.dtype.kind == "f":
+                arr = val.astype(self.dtype)
+            else:
+                arr = val.astype(np.int32)
+            if k.endswith("_w"):
+                spec = P("w") if arr.ndim == 1 else P(*(["w"] + [None] * (arr.ndim - 1)))
+            else:
+                spec = P()
+            sh = NamedSharding(self.mesh, spec)
+            dev[k] = jax.device_put(jnp.asarray(arr), sh)
+            specs[k] = spec
+        self.tables = dev
+        self.table_specs = specs
+        self.bt_meta = {k: v for k, v in host.items() if not isinstance(v, np.ndarray)}
+
+    # ------------------------------------------------------------------
+    def _local_bt(self, t) -> BluesteinTables:
+        """Assemble a BluesteinTables view from per-device latitude rows."""
+        f = lambda name: t[f"bt_{name}_lat_w"]
+        return BluesteinTables(
+            nfft=self.bt_meta["bt_nfft"], mmax=self.bt_meta["bt_mmax"],
+            ndlon=self.bt_meta["bt_ndlon"],
+            syn_in_r=f("syn_in_r"), syn_in_i=f("syn_in_i"),
+            syn_bh_r=f("syn_bh_r"), syn_bh_i=f("syn_bh_i"),
+            syn_out_r=f("syn_out_r"), syn_out_i=f("syn_out_i"),
+            ana_in_r=f("ana_in_r"), ana_in_i=f("ana_in_i"),
+            ana_bh_r=f("ana_bh_r"), ana_bh_i=f("ana_bh_i"),
+            ana_out_r=f("ana_out_r"), ana_out_i=f("ana_out_i"),
+        )
+
+    @staticmethod
+    def _group_perms(group_sizes: list[int], v: int):
+        """Owner-major <-> group-major field permutations for TRLTOG/TRGTOL."""
+        om = []
+        offs = np.cumsum([0] + group_sizes)
+        for d in range(v):
+            for i, g in enumerate(group_sizes):
+                lo = offs[i] + d * (g // v)
+                om.extend(range(lo, lo + g // v))
+        om = np.asarray(om)
+        return om, np.argsort(om)
+
+    # ------------------------------------------------------------------
+    def _packed_to_dense_local(self, spec_packed, t):
+        nfld = spec_packed.shape[0]
+        padded = jnp.concatenate(
+            [spec_packed, jnp.zeros((nfld, 1), spec_packed.dtype)], axis=-1
+        )
+        dg = t["dense_gather_w"].transpose(1, 0, 2)  # (2, ML, NP)
+        return padded[:, dg]
+
+    def _dense_to_packed_psum(self, dense, t):
+        """Masked local gather + psum over "w" (UPDSP + spectral gather)."""
+        ML = self.dist.ML
+        widx = jax.lax.axis_index("w")
+        local_pos = t["pm_perm_pos"] - widx * ML
+        owned = (local_pos >= 0) & (local_pos < ML)
+        lp = jnp.clip(local_pos, 0, ML - 1)
+        vals = dense[:, t["packed_c"], lp, t["packed_n"]]
+        vals = jnp.where(owned[None, :], vals, 0)
+        return jax.lax.psum(vals, "w")
+
+    def _ct(self, t, prefix, keys):
+        return {k: t[f"{prefix}_{k}_w"] for k in keys}
+
+    # ------------------------------------------------------------------
+    def _inv_kernel(self, spvor, spdiv, spsc, t, flags: InvFlags):
+        res, dist = self.res, self.dist
+        Fuv = spvor.shape[0]
+        Fsc = spsc.shape[0]
+        lt_tab = SimpleNamespace(psym=t["psym_w"], pasym=t["pasym_w"], w=t["wq"])
+        idx_tab = SimpleNamespace(idx_sym=t["idx_sym_w"], idx_asym=t["idx_asym_w"])
+
+        def lt(dense):
+            from ..ops import layout
+
+            sym, asym = layout.dense_to_parity(dense, idx_tab)
+            return legendre_matmul.legendre_inv(sym, asym, lt_tab)
+
+        groups1 = []  # pre-TRMTOL groups: vor? div? u v sc nsd
+        if Fuv:
+            dvor = self._packed_to_dense_local(spvor, t)
+            ddiv = self._packed_to_dense_local(spdiv, t)
+            du, dv = spectral.vordiv_to_uv(
+                dvor, ddiv, self._ct(t, "vd", ("a", "b", "c", "valid"))
+            )
+            if flags.vorgp:
+                groups1.append(lt(dvor))
+            if flags.divgp:
+                groups1.append(lt(ddiv))
+            groups1.append(lt(jnp.concatenate([du, dv], axis=0)))
+        if Fsc:
+            dsc = self._packed_to_dense_local(spsc, t)
+            groups1.append(lt(dsc))
+            if flags.scders:
+                dnsd = spectral.ns_derivative(dsc, self._ct(t, "ns", ("a", "b", "valid")))
+                groups1.append(lt(dnsd))
+
+        four = jnp.concatenate(groups1, axis=0)  # (F1, 2, ML, ndgl)
+        npad = dist.ndgl_pad - res.ndgl
+        if npad:
+            four = jnp.pad(four, [(0, 0), (0, 0), (0, 0), (0, npad)])
+        # --- TRMTOL: m-distributed -> latitude-distributed ---
+        four = jax.lax.all_to_all(four, "w", split_axis=3, concat_axis=2, tiled=True)
+        # un-permute the m axis to natural order (drop padding rows)
+        four = four[:, :, t["pos_of_m"], :]  # (F1, 2, M, LL)
+
+        # --- FSC on local latitudes ---
+        racthe = t["racthe_lat_w"][None, None, None, :]
+        # m axis is back in natural order here
+        mval = jnp.arange(res.M, dtype=four.dtype)[None, :, None]
+
+        def ew(x):
+            re, im = x[:, 0], x[:, 1]
+            return jnp.stack([-im * mval, re * mval], axis=1) * racthe
+
+        i = 0
+        out = []
+        if Fuv and flags.vorgp:
+            out.append(four[i : i + Fuv]); i += Fuv
+        if Fuv and flags.divgp:
+            out.append(four[i : i + Fuv]); i += Fuv
+        uvf = None
+        if Fuv:
+            uvf = four[i : i + 2 * Fuv] * racthe; i += 2 * Fuv
+            out.append(uvf)
+        scf = None
+        if Fsc:
+            scf = four[i : i + Fsc]; i += Fsc
+            out.append(scf)
+            if flags.scders:
+                out.append(four[i : i + Fsc] * racthe); i += Fsc
+        if Fuv and flags.uvders:
+            out.append(ew(uvf))
+        if Fsc and flags.scders:
+            out.append(ew(scf))
+        four2 = jnp.concatenate(out, axis=0)
+
+        # --- Fourier synthesis on local latitudes ---
+        grid = synthesis(four2, self._local_bt(t))  # (F2, LL, ndlon)
+
+        # --- TRLTOG: latitude-distributed -> grid columns (gather fields) ---
+        grid = jax.lax.all_to_all(grid, "v", split_axis=1, concat_axis=0, tiled=True)
+        # owner-major -> group-major global field order
+        # NB: u and v are separate groups (each device's local block is
+        # [u-shard, v-shard], not a contiguous slice of a combined group)
+        gsz = []
+        if Fuv and flags.vorgp: gsz.append(Fuv)
+        if Fuv and flags.divgp: gsz.append(Fuv)
+        if Fuv: gsz += [Fuv, Fuv]
+        if Fsc: gsz.append(Fsc)
+        if Fsc and flags.scders: gsz.append(Fsc)
+        if Fuv and flags.uvders: gsz += [Fuv, Fuv]
+        if Fsc and flags.scders: gsz.append(Fsc)
+        _, inv_perm = self._group_perms([g * self.v for g in gsz], self.v)
+        return grid[inv_perm]
+
+    # ------------------------------------------------------------------
+    def _dir_kernel(self, grid, t, Fuv_g: int, Fsc_g: int):
+        """grid: (Fin_global, LL/v, ndlon) local block, group-major fields."""
+        res, dist = self.res, self.dist
+        gsz = ([Fuv_g, Fuv_g] if Fuv_g else []) + ([Fsc_g] if Fsc_g else [])
+        om, _ = self._group_perms(gsz, self.v)
+        g_om = grid[om]
+        # --- TRGTOL: grid columns -> latitude-distributed (scatter fields) ---
+        x = jax.lax.all_to_all(g_om, "v", split_axis=0, concat_axis=1, tiled=True)
+        # (Fin/v, LL, ndlon)
+        four = analysis(x, self._local_bt(t), res.M)  # (F, 2, M, LL)
+        Fuv = Fuv_g // self.v
+        Fsc = Fsc_g // self.v
+        if Fuv:
+            racthe = t["racthe_lat_w"][None, None, None, :]
+            four = jnp.concatenate(
+                [four[: 2 * Fuv] * racthe, four[2 * Fuv :]], axis=0
+            )
+        # permute m to the distributed layout (pad rows read a zero row)
+        fourz = jnp.concatenate(
+            [four, jnp.zeros(four.shape[:2] + (1,) + four.shape[3:], four.dtype)],
+            axis=2,
+        )
+        four = fourz[:, :, jnp.minimum(t["perm"], res.M), :]  # (F, 2, M_pad, LL)
+        # --- TRLTOM: latitude-distributed -> m-distributed ---
+        four = jax.lax.all_to_all(four, "w", split_axis=2, concat_axis=3, tiled=True)
+        four = four[..., : res.ndgl]  # drop latitude padding
+
+        lt_tab = SimpleNamespace(psym=t["psym_w"], pasym=t["pasym_w"], w=t["wq"])
+        sym, asym = legendre_matmul.legendre_dir(four, lt_tab)
+        from ..ops import layout
+
+        idx_tab = SimpleNamespace(idx_sym=t["idx_sym_w"], idx_asym=t["idx_asym_w"])
+        dense = layout.parity_to_dense(sym, asym, idx_tab, res.NP)
+
+        zero = jnp.zeros((0, res.nspec2), dense.dtype)
+        spvor = spdiv = spsc = zero
+        if Fuv:
+            dvor, ddiv = spectral.uv_to_vordiv(
+                dense[:Fuv], dense[Fuv : 2 * Fuv],
+                self._ct(t, "tv", ("p", "q", "r", "valid")),
+            )
+            spvor = self._dense_to_packed_psum(dvor, t)
+            spdiv = self._dense_to_packed_psum(ddiv, t)
+        if Fsc:
+            spsc = self._dense_to_packed_psum(dense[2 * Fuv :], t)
+        return spvor, spdiv, spsc
+
+    # ------------------------------------------------------------------
+    def _pad_fields(self, x):
+        """Pad the leading (field) axis to a multiple of v."""
+        if x is None:
+            return None, 0
+        n = x.shape[0]
+        npad = (-n) % self.v
+        if npad:
+            x = jnp.concatenate([x, jnp.zeros((npad,) + x.shape[1:], x.dtype)], 0)
+        return x.astype(self.dtype), n
+
+    def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
+                  flags: InvFlags = InvFlags()):
+        """Distributed inverse transform.
+
+        Inputs: global packed spectral arrays; output: global grid
+        (nfld_out, ndgl, ndlon) laid out with sharding P(None, ("w","v"), None).
+        Padded fields (from rounding nfld up to v) are stripped.
+        """
+        spvor, nuv = self._pad_fields(spvor)
+        spdiv, _ = self._pad_fields(spdiv)
+        spsc, nsc = self._pad_fields(spscalar)
+        key = (spvor is not None, spsc is not None,
+               0 if spvor is None else spvor.shape[0],
+               0 if spsc is None else spsc.shape[0], flags)
+        if key not in self._inv_jit:
+            self._inv_jit[key] = self._build_inv(flags)
+        grid = self._inv_jit[key](spvor, spdiv, spsc)
+        return self._strip_fields(grid, nuv, nsc, flags)
+
+    def _build_inv(self, flags):
+        specs_t = {k: self.table_specs[k] for k in self.tables}
+
+        def fn(spvor, spdiv, spsc):
+            kernel = functools.partial(self._inv_kernel, flags=flags)
+            sm = jax.shard_map(
+                lambda a, b, c, t: kernel(a, b, c, t),
+                mesh=self.mesh,
+                in_specs=(P("v", None), P("v", None), P("v", None), specs_t),
+                out_specs=P(None, ("w", "v"), None),
+            )
+            zero = jnp.zeros((0, self.res.nspec2), self.dtype)
+            out = sm(spvor if spvor is not None else zero,
+                     spdiv if spdiv is not None else zero,
+                     spsc if spsc is not None else zero,
+                     self.tables)
+            if self.dist.ndgl_pad != self.res.ndgl:
+                out = out[:, : self.res.ndgl]
+            return out
+
+        return jax.jit(fn)
+
+    def _strip_fields(self, grid, nuv, nsc, flags):
+        """Remove v-padding fields, group by group."""
+        v = self.v
+        Fuv = nuv + (-nuv) % v
+        Fsc = nsc + (-nsc) % v
+        if Fuv == nuv and Fsc == nsc:
+            return grid
+        sel = []
+        off = 0
+        def take(gpad, greal):
+            nonlocal off
+            sel.extend(range(off, off + greal))
+            off += gpad
+        if nuv and flags.vorgp: take(Fuv, nuv)
+        if nuv and flags.divgp: take(Fuv, nuv)
+        if nuv:
+            take(Fuv, nuv); take(Fuv, nuv)  # u then v (one group of 2*Fuv)
+        if nsc: take(Fsc, nsc)
+        if nsc and flags.scders: take(Fsc, nsc)
+        if nuv and flags.uvders:
+            take(Fuv, nuv); take(Fuv, nuv)
+        if nsc and flags.scders: take(Fsc, nsc)
+        return grid[np.asarray(sel)]
+
+    # ------------------------------------------------------------------
+    def dir_trans(self, u=None, v=None, scalars=None):
+        """Distributed direct transform: grid -> packed spectral arrays."""
+        u, nuv = self._pad_fields(u)
+        v, _ = self._pad_fields(v)
+        sc, nsc = self._pad_fields(scalars)
+        Fuv_g = 0 if u is None else u.shape[0]
+        Fsc_g = 0 if sc is None else sc.shape[0]
+        key = (Fuv_g, Fsc_g)
+        if self._dir_jit is None or self._dir_jit[0] != key:
+            self._dir_jit = (key, self._build_dir(Fuv_g, Fsc_g))
+        spvor, spdiv, spsc = self._dir_jit[1](u, v, sc)
+        spvor = spvor[:nuv] if nuv else None
+        spdiv = spdiv[:nuv] if nuv else None
+        spsc = spsc[:nsc] if nsc else None
+        return spvor, spdiv, spsc
+
+    def _build_dir(self, Fuv_g, Fsc_g):
+        specs_t = {k: self.table_specs[k] for k in self.tables}
+
+        def fn(u, v, sc):
+            parts = []
+            if Fuv_g:
+                parts += [u, v]
+            if Fsc_g:
+                parts.append(sc)
+            grid = jnp.concatenate(parts, axis=0)
+            npad = self.dist.ndgl_pad - self.res.ndgl
+            if npad:
+                grid = jnp.pad(grid, [(0, 0), (0, npad), (0, 0)])
+            kernel = functools.partial(self._dir_kernel, Fuv_g=Fuv_g, Fsc_g=Fsc_g)
+            sm = jax.shard_map(
+                lambda g, t: kernel(g, t),
+                mesh=self.mesh,
+                in_specs=(P(None, ("w", "v"), None), specs_t),
+                out_specs=(P("v", None), P("v", None), P("v", None)),
+            )
+            return sm(grid, self.tables)
+
+        return jax.jit(fn)

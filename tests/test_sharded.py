@@ -1,0 +1,85 @@
+"""Decomposition invariance: sharded transforms == single-device transforms.
+
+The TPU-native equivalent of the reference's checksum tests
+(tests/compare_checksums.py: results must be identical across MPI x OMP
+decompositions).  Here: every (w, v) mesh shape on 8 virtual CPU devices must
+reproduce the single-device result to float tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ectrans_tpu as et
+from ectrans_tpu.parallel import ShardedTransform, make_mesh
+
+
+def _random_state(res, nuv, nsc, seed=0):
+    rng = np.random.default_rng(seed)
+    n0 = 2 * (res.nsmax + 1)
+
+    def rp(n):
+        x = rng.standard_normal((n, res.nspec2))
+        x[:, 1:n0:2] = 0.0
+        return x
+
+    vor, div, sc = rp(nuv), rp(nsc and nuv or nuv), rp(nsc)
+    vor[:, 0] = 0.0
+    div[:, 0] = 0.0
+    return vor, div, sc
+
+
+MESHES = [(1, 1), (2, 1), (1, 2), (4, 2), (2, 4), (8, 1)]
+
+
+@pytest.mark.parametrize("w,v", MESHES)
+@pytest.mark.parametrize("gridname", ["F24", "O48"])
+def test_inv_decomposition_invariance(w, v, gridname):
+    res = et.setup(gridname, 47)
+    vor, div, sc = _random_state(res, 2, 3)
+    flags = et.InvFlags(vorgp=True, divgp=True, scders=True, uvders=True)
+    ref = np.asarray(
+        et.inv_trans(res, spvor=jnp.asarray(vor), spdiv=jnp.asarray(div),
+                     spscalar=jnp.asarray(sc), flags=flags, dtype=jnp.float64)
+    )
+    st = ShardedTransform(res, make_mesh(w, v), dtype=jnp.float64)
+    got = np.asarray(st.inv_trans(spvor=jnp.asarray(vor), spdiv=jnp.asarray(div),
+                                  spscalar=jnp.asarray(sc), flags=flags))
+    assert got.shape == ref.shape
+    # relative tolerance: vdtuv carries the a^2 inverse-Laplacian factor, so
+    # O(1) random vorticity spectra yield O(1e7) winds; fp64 reassociation
+    # (jit FMA fusion) then shows up at ~1e-9 of the field magnitude.
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-12, f"(w={w},v={v}) inv mismatch {err}"
+
+
+@pytest.mark.parametrize("w,v", MESHES)
+def test_dir_decomposition_invariance(w, v):
+    res = et.setup("O48", 47)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((3, res.ndgl, res.grid.ndlon))
+    vv = rng.standard_normal((3, res.ndgl, res.grid.ndlon))
+    sc = rng.standard_normal((2, res.ndgl, res.grid.ndlon))
+    ref = [np.asarray(x) for x in et.dir_trans(
+        res, u=jnp.asarray(u), v=jnp.asarray(vv), scalars=jnp.asarray(sc),
+        dtype=jnp.float64)]
+    st = ShardedTransform(res, make_mesh(w, v), dtype=jnp.float64)
+    got = st.dir_trans(u=jnp.asarray(u), v=jnp.asarray(vv), scalars=jnp.asarray(sc))
+    for name, r, g in zip(("vor", "div", "sc"), ref, got):
+        err = np.abs(np.asarray(g) - r).max() / np.abs(r).max()
+        assert err < 1e-12, f"(w={w},v={v}) {name} mismatch {err}"
+
+
+def test_sharded_roundtrip_fp32():
+    """fp32 sharded round trip at reference single-precision tolerance."""
+    res = et.setup("O48", 47)
+    vor, div, sc = _random_state(res, 2, 3, seed=2)
+    st = ShardedTransform(res, make_mesh(4, 2), dtype=jnp.float32)
+    grid = st.inv_trans(spvor=jnp.asarray(vor), spdiv=jnp.asarray(div),
+                        spscalar=jnp.asarray(sc))
+    u, vv, s = grid[0:2], grid[2:4], grid[4:7]
+    sv, sd, ss = st.dir_trans(u=u, v=vv, scalars=s)
+    assert np.abs(np.asarray(sv) - vor).max() < 2e-5
+    assert np.abs(np.asarray(sd) - div).max() < 2e-5
+    assert np.abs(np.asarray(ss) - sc).max() < 2e-5
