@@ -1,0 +1,194 @@
+"""High-level API: SpectralTransform handle + inquiry + utility transforms.
+
+The object-oriented face of the framework, covering the reference's public
+API surface (SURVEY.md §2.1):
+
+  SETUP_TRANS0/SETUP_TRANS  -> SpectralTransform(grid, nsmax, mesh=...)
+  INV_TRANS / DIR_TRANS     -> .inv_trans() / .dir_trans()
+  INV_TRANSAD / DIR_TRANSAD -> .inv_trans_adj() / .dir_trans_adj()
+  TRANS_INQ                 -> .inquire()
+  SPECNORM / GPNORM_TRANS   -> .specnorm() / .gpnorm()
+  VORDIV_TO_UV              -> .vordiv_to_uv()  (also module-level)
+  TRANS_PNM                 -> .legendre_polynomials(m)
+  DIST_GRID/GATH_GRID/...   -> .dist_grid()/.gath_grid()/.dist_spec()/.gath_spec()
+  TRANS_END / TRANS_RELEASE -> .release() (drops cached jits/tables)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import adjoint, norms, transform
+from .ops import layout, spectral
+from .resolution import EARTH_RADIUS, Resolution, setup
+from .transform import InvFlags
+
+
+class SpectralTransform:
+    """One resolution handle, optionally distributed over a (w, v) mesh."""
+
+    def __init__(
+        self,
+        grid: str | Any,
+        nsmax: int | None = None,
+        *,
+        mesh=None,
+        radius: float = EARTH_RADIUS,
+        dtype=jnp.float32,
+    ):
+        self.res: Resolution = setup(grid, nsmax, radius)
+        self.dtype = jnp.dtype(dtype)
+        self.mesh = mesh
+        self._sharded = None
+        if mesh is not None:
+            from .parallel import ShardedTransform
+
+            self._sharded = ShardedTransform(self.res, mesh, dtype=self.dtype)
+
+    # -- transforms -----------------------------------------------------
+    def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
+                  flags: InvFlags = InvFlags(), **kw):
+        flags = InvFlags(**kw) if kw else flags
+        if self._sharded is not None:
+            return self._sharded.inv_trans(spvor, spdiv, spscalar, flags=flags)
+        return transform.inv_trans(
+            self.res, spvor, spdiv, spscalar, flags=flags, dtype=self.dtype
+        )
+
+    def dir_trans(self, u=None, v=None, scalars=None):
+        if self._sharded is not None:
+            return self._sharded.dir_trans(u, v, scalars)
+        return transform.dir_trans(self.res, u, v, scalars, dtype=self.dtype)
+
+    def inv_trans_adj(self, grid_ad, nfld_uv=0, nfld_sc=0,
+                      flags: InvFlags = InvFlags()):
+        return adjoint.inv_trans_adj(
+            self.res, grid_ad, nfld_uv, nfld_sc, flags=flags, dtype=self.dtype
+        )
+
+    def dir_trans_adj(self, spvor_ad=None, spdiv_ad=None, spscalar_ad=None,
+                      nfld_uv=0, nfld_sc=0):
+        return adjoint.dir_trans_adj(
+            self.res, spvor_ad, spdiv_ad, spscalar_ad,
+            nfld_uv=nfld_uv, nfld_sc=nfld_sc, dtype=self.dtype,
+        )
+
+    # -- norms / utilities ----------------------------------------------
+    def specnorm(self, spec, met=None):
+        return norms.specnorm(self.res, spec, met)
+
+    def gpnorm(self, grid, ave_only=False):
+        return norms.gpnorm(self.res, grid, ave_only)
+
+    def vordiv_to_uv(self, spvor, spdiv):
+        return vordiv_to_uv(self.res, spvor, spdiv, dtype=self.dtype)
+
+    def legendre_polynomials(self, m: int) -> np.ndarray:
+        """P̄_n^m at all Gaussian latitudes for one m (TRANS_PNM,
+        ``trans_pnm.F90``): shape (nsmax+2-m?, ndgl) -> (n index, lat)."""
+        res = self.res
+        tab = np.zeros((res.NP - m, res.ndgl))
+        nh = res.grid.ndgnh
+        for k, n in enumerate(range(m, res.NP)):
+            col = _pnm_value(res, m, n)
+            tab[k, :nh] = col
+            tab[k, nh:] = col[::-1] * ((-1) ** ((n + m) % 2))
+        return tab
+
+    # -- distribution helpers (DIST_GRID/GATH_GRID/DIST_SPEC/GATH_SPEC) --
+    def dist_grid(self, grid_global):
+        """Place a global grid array with the distributed layout (owner view).
+
+        On a mesh: NamedSharding P(None, ("w","v"), None); without a mesh the
+        identity.  The reference's DIST_GRID scatters from one owner PE —
+        with jax.device_put XLA performs the scatter.
+        """
+        if self.mesh is None:
+            return jnp.asarray(grid_global)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            grid_global, NamedSharding(self.mesh, P(None, ("w", "v"), None))
+        )
+
+    def gath_grid(self, grid):
+        """Gather a (possibly sharded) grid array to a host numpy array."""
+        return np.asarray(jax.device_get(grid))
+
+    def dist_spec(self, spec_global):
+        if self.mesh is None:
+            return jnp.asarray(spec_global)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(spec_global, NamedSharding(self.mesh, P("v", None)))
+
+    def gath_spec(self, spec):
+        return np.asarray(jax.device_get(spec))
+
+    # -- inquiry ----------------------------------------------------------
+    def inquire(self) -> dict:
+        """TRANS_INQ equivalent: every size/address/geometry array a caller
+        needs (reference ``trans_inq.F90:11-529``)."""
+        res = self.res
+        g = res.grid
+        mu, w = g.gauss()
+        return {
+            "nsmax": res.nsmax,
+            "nspec": g.nspec,
+            "nspec2": g.nspec2,
+            "nspec2g": g.nspec2,
+            "ndgl": g.ndgl,
+            "ndlon": g.ndlon,
+            "ngptot": g.ngptot,
+            "ngptotg": g.ngptot,
+            "nloen": np.asarray(g.nloen),
+            "nmen": res.nmen.copy(),
+            "ndglu": res.ndglu.copy(),
+            "nasm0": res.nasm0.copy(),
+            "rmu": mu,
+            "rgw": w,
+            "rlapin": res.rlapin.copy(),
+            "latitudes_deg": g.latitudes_deg(),
+            "nump": res.M,
+            "myms": np.arange(res.M),
+        }
+
+    def release(self):
+        """Drop cached jitted executables (TRANS_RELEASE equivalent)."""
+        self._sharded = None
+        if self.mesh is not None:
+            from .parallel import ShardedTransform
+
+            self._sharded = ShardedTransform(self.res, self.mesh, dtype=self.dtype)
+
+
+def _pnm_value(res: Resolution, m: int, n: int) -> np.ndarray:
+    """P̄_n^m at NH latitudes from the parity-split tables."""
+    k = (n - m) // 2
+    if (n - m) % 2 == 0:
+        return np.asarray(res.psym[m, :, k])
+    return np.asarray(res.pasym[m, :, k])
+
+
+def vordiv_to_uv(res: Resolution, spvor, spdiv, dtype=jnp.float32):
+    """Standalone spectral vor/div -> spectral U = a*u*cos(theta)-type winds
+    (reference VORDIV_TO_UV, ``vordiv_to_uv.F90``): packed in, packed out.
+
+    Note the returned packed arrays truncate the n = nsmax+1 row (packed
+    layout holds n <= nsmax), matching the reference's KSMAX-truncated
+    output.
+    """
+    from .transform import _coeff_tables
+
+    dtype = jnp.dtype(dtype)
+    tables = res.device_tables(dtype)
+    ct = _coeff_tables(res, str(dtype))
+    dvor = layout.packed_to_dense(spvor.astype(dtype), tables)
+    ddiv = layout.packed_to_dense(spdiv.astype(dtype), tables)
+    du, dv = spectral.vordiv_to_uv(dvor, ddiv, ct["vd"])
+    return layout.dense_to_packed(du, tables), layout.dense_to_packed(dv, tables)

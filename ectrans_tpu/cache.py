@@ -55,7 +55,8 @@ def load_legendre_cached(
     if d is not None:
         try:
             d.mkdir(parents=True, exist_ok=True)
-            tmp = d / (_cache_key(grid) + ".tmp")
+            # NB: np.savez appends ".npz" when missing — keep it explicit
+            tmp = d / (_cache_key(grid) + f".tmp{os.getpid()}.npz")
             np.savez_compressed(tmp, ptable=ptable)
             os.replace(tmp, d / _cache_key(grid))
         except Exception:
