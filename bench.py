@@ -14,6 +14,7 @@ transform pair per second.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -78,28 +79,44 @@ def run(config: str):
 
 
 def main():
-    for config in ("TCO1279", "TCO639"):
+    import time as _t
+
+    budget = float(os.environ.get("ECTRANS_BENCH_BUDGET_S", "1500"))
+    order = os.environ.get("ECTRANS_BENCH_CONFIGS", "TCO639,TCO1279").split(",")
+    t0 = _t.time()
+    results = {}
+    for config in order:
+        if results and (budget - (_t.time() - t0)) < 420:
+            print(f"# skipping {config}: bench time budget", file=sys.stderr)
+            break
         try:
-            gpps, dt, err = run(config)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"{config} inv+dir roundtrip throughput",
-                        "value": round(gpps, 1),
-                        "unit": "gridpoints/s/chip",
-                        "vs_baseline": round(gpps / BASELINE_GPPS[config], 3),
-                        "detail": {
-                            "sec_per_roundtrip": round(dt, 4),
-                            "nfld": 2 * NFLD_UV + NFLD_SC,
-                            "roundtrip_err": err,
-                        },
-                    }
-                )
-            )
-            return
-        except Exception as e:  # OOM / compile failure: fall back
+            results[config] = run(config)
+        except Exception as e:  # OOM / compile failure: keep earlier result
             print(f"# {config} failed: {type(e).__name__}: {e}", file=sys.stderr)
-    raise SystemExit(1)
+    if not results:
+        raise SystemExit(1)
+    config = order[-1] if order[-1] in results else next(iter(results))
+    for c in reversed(order):
+        if c in results:
+            config = c
+            break
+    gpps, dt, err = results[config]
+    print(
+        json.dumps(
+            {
+                "metric": f"{config} inv+dir roundtrip throughput",
+                "value": round(gpps, 1),
+                "unit": "gridpoints/s/chip",
+                "vs_baseline": round(gpps / BASELINE_GPPS[config], 3),
+                "detail": {
+                    "sec_per_roundtrip": round(dt, 4),
+                    "nfld": 2 * NFLD_UV + NFLD_SC,
+                    "roundtrip_err": err,
+                    "all": {k: round(v[0], 1) for k, v in results.items()},
+                },
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

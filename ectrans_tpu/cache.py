@@ -20,7 +20,7 @@ import pathlib
 import numpy as np
 
 from .grids import GridSpec
-from .legendre import compute_legendre_table
+from .legendre import build_parity_tables
 
 
 def _cache_dir() -> pathlib.Path | None:
@@ -32,36 +32,44 @@ def _cache_dir() -> pathlib.Path | None:
     return pathlib.Path.home() / ".cache" / "ectrans_tpu" / "legpol"
 
 
-def _cache_key(grid: GridSpec) -> str:
+def _cache_key(grid: GridSpec, dtype) -> str:
     h = hashlib.sha1()
-    h.update(repr((grid.name, grid.nsmax, grid.ndgl, grid.nloen)).encode())
+    h.update(
+        repr((grid.name, grid.nsmax, grid.ndgl, grid.nloen, np.dtype(dtype).name)).encode()
+    )
     return f"legpol_{grid.name}_T{grid.nsmax}_{h.hexdigest()[:12]}.npz"
 
 
-def load_legendre_cached(
-    grid: GridSpec, mu_nh: np.ndarray, nmen_nh: np.ndarray
-) -> np.ndarray:
-    """P̄[m, n, lat_nh] table, from disk cache if available."""
+def load_parity_cached(
+    grid: GridSpec, mu_nh: np.ndarray, nmen_nh: np.ndarray, dtype=np.float64
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(psym, pasym, kmax) parity tables, from disk cache if available.
+
+    Large resolutions are cached too (the tables are written uncompressed
+    for load speed); set ``ECTRANS_TPU_LEGPOL_DIR=""`` to disable.
+    """
     d = _cache_dir()
     if d is not None:
-        path = d / _cache_key(grid)
+        path = d / _cache_key(grid, dtype)
         if path.exists():
             try:
                 with np.load(path) as z:
-                    return z["ptable"]
+                    return z["psym"], z["pasym"], int(z["kmax"])
             except Exception:
                 pass  # corrupt cache: recompute
-    ptable = compute_legendre_table(grid.nsmax, mu_nh, ntmax_extra=1, nmen_nh=nmen_nh)
+    psym, pasym, kmax = build_parity_tables(
+        grid.nsmax, mu_nh, ntmax_extra=1, nmen_nh=nmen_nh, dtype=dtype
+    )
     if d is not None:
         try:
             d.mkdir(parents=True, exist_ok=True)
             # NB: np.savez appends ".npz" when missing — keep it explicit
-            tmp = d / (_cache_key(grid) + f".tmp{os.getpid()}.npz")
-            np.savez_compressed(tmp, ptable=ptable)
-            os.replace(tmp, d / _cache_key(grid))
+            tmp = d / (_cache_key(grid, dtype) + f".tmp{os.getpid()}.npz")
+            np.savez(tmp, psym=psym, pasym=pasym, kmax=kmax)
+            os.replace(tmp, d / _cache_key(grid, dtype))
         except Exception:
             pass  # cache write failure is non-fatal
-    return ptable
+    return psym, pasym, kmax
 
 
 def clear_cache() -> None:

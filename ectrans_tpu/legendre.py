@@ -135,6 +135,32 @@ def compute_legendre_table(
     return out
 
 
+def build_parity_tables(
+    nsmax: int,
+    mu: np.ndarray,
+    ntmax_extra: int = 1,
+    nmen_nh: np.ndarray | None = None,
+    dtype=np.float64,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Parity-split Legendre tables (psym, pasym, kmax): the one setup
+    kernel that is O(nsmax^2 * nlat).  Uses the native C++ builder
+    (``ectrans_tpu/native``, the SULEG-equivalent) when available — seconds
+    instead of minutes at TCO1279 — with this module's NumPy recurrence as
+    the always-available fallback.  ``dtype=float32`` halves the dominant
+    memory traffic for very large resolutions (recurrence stays fp64)."""
+    from . import native
+
+    out = native.build_legendre_parity(nsmax, mu, ntmax_extra, nmen_nh, dtype)
+    if out is not None:
+        return out
+    ptable = compute_legendre_table(nsmax, mu, ntmax_extra, nmen_nh)
+    psym, pasym, kmax = split_parity(ptable, nsmax)
+    if np.dtype(dtype) != np.float64:
+        psym = psym.astype(dtype)
+        pasym = pasym.astype(dtype)
+    return psym, pasym, kmax
+
+
 def split_parity(
     ptable: np.ndarray, nsmax: int
 ) -> tuple[np.ndarray, np.ndarray, int]:

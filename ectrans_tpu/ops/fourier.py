@@ -162,6 +162,91 @@ def _pad_last(x, n):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
 
 
+# ----------------------------------------------------------------------
+# Uniform-length half-complex DFTs (all rows the same length).  Used by the
+# LAM bi-Fourier path (reference ELEINV/ELEDIR meridional FFTs,
+# ``eleinv_mod.F90:72-101``, and the zonal FFTs on the uniform LAM grid)
+# where, unlike the reduced Gaussian grid, one 1-D chirp table serves every
+# row.  Conventions identical to synthesis/analysis above:
+#   synthesis: f_j = re_0 + 2*sum_{k>=1} (re_k cos(2 pi k j / L) -
+#                                         im_k sin(2 pi k j / L))
+#   analysis:  F_k = (1/L) sum_j f_j e^{-2 pi i k j / L}
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class UniformDftTables:
+    L: int
+    kmax: int           # max retained mode index
+    nfft: int
+    syn_in_r: Any       # (kmax+1,)
+    syn_in_i: Any
+    syn_bh_r: Any       # (nfft,)
+    syn_bh_i: Any
+    syn_out_r: Any      # (L,)
+    syn_out_i: Any
+    ana_in_r: Any       # (L,)
+    ana_in_i: Any
+    ana_bh_r: Any       # (nfft,)
+    ana_bh_i: Any
+    ana_out_r: Any      # (kmax+1,)
+    ana_out_i: Any
+
+
+@functools.lru_cache(maxsize=32)
+def uniform_dft_tables(L: int, kmax: int, dtype_str: str = "float32") -> UniformDftTables:
+    import jax.numpy as jnp
+
+    dt = np.dtype(dtype_str)
+    nfft = _next_pow2(L + kmax + 1)
+    ks = np.arange(kmax + 1)
+    js = np.arange(L)
+    cm = np.where(ks == 0, 1.0, 2.0)
+    syn_in = cm * _chirp(L, ks, +1.0)
+    b = np.zeros(nfft, dtype=np.complex128)
+    kk = np.arange(-kmax, L)
+    b[kk % nfft] = _chirp(L, kk, -1.0)
+    syn_bh = np.fft.fft(b)
+    syn_out = _chirp(L, js, +1.0)
+    ana_in = _chirp(L, js, -1.0)
+    b2 = np.zeros(nfft, dtype=np.complex128)
+    kk2 = np.arange(-(L - 1), kmax + 1)
+    b2[kk2 % nfft] = _chirp(L, kk2, +1.0)
+    ana_bh = np.fft.fft(b2)
+    ana_out = _chirp(L, ks, -1.0) / L
+    f = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(dt))
+    return UniformDftTables(
+        L=L, kmax=kmax, nfft=nfft,
+        syn_in_r=f(syn_in.real), syn_in_i=f(syn_in.imag),
+        syn_bh_r=f(syn_bh.real), syn_bh_i=f(syn_bh.imag),
+        syn_out_r=f(syn_out.real), syn_out_i=f(syn_out.imag),
+        ana_in_r=f(ana_in.real), ana_in_i=f(ana_in.imag),
+        ana_bh_r=f(ana_bh.real), ana_bh_i=f(ana_bh.imag),
+        ana_out_r=f(ana_out.real), ana_out_i=f(ana_out.imag),
+    )
+
+
+def synthesis_uniform(re, im, ut: UniformDftTables):
+    """(..., kmax+1) half-complex coeffs -> (..., L) real signal."""
+    ar, ai = _cmul(re, im, ut.syn_in_r, ut.syn_in_i)
+    fr, fi = fft_pow2(_pad_last(ar, ut.nfft), _pad_last(ai, ut.nfft), -1)
+    cr, ci = _cmul(fr, fi, ut.syn_bh_r, ut.syn_bh_i)
+    vr, vi = ifft_pow2(cr, ci)
+    vr, vi = vr[..., : ut.L], vi[..., : ut.L]
+    return vr * ut.syn_out_r - vi * ut.syn_out_i
+
+
+def analysis_uniform(x, ut: UniformDftTables):
+    """(..., L) real signal -> ((..., kmax+1) re, (..., kmax+1) im)."""
+    ar = x * ut.ana_in_r
+    ai = x * ut.ana_in_i
+    fr, fi = fft_pow2(_pad_last(ar, ut.nfft), _pad_last(ai, ut.nfft), -1)
+    cr, ci = _cmul(fr, fi, ut.ana_bh_r, ut.ana_bh_i)
+    vr, vi = ifft_pow2(cr, ci)
+    vr, vi = vr[..., : ut.kmax + 1], vi[..., : ut.kmax + 1]
+    return _cmul(vr, vi, ut.ana_out_r, ut.ana_out_i)
+
+
 def synthesis(fourier, bt: BluesteinTables):
     """(nfld, 2, M, ndgl) Fourier coeffs -> grid (nfld, ndgl, ndlon).
 

@@ -90,14 +90,45 @@ class Resolution:
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=4)
+    def grouped_legendre(self, dtype_str: str = "float32",
+                         ngroups: int | None = None) -> "GroupedLegendre":
+        """Per-m-group Legendre tensors for the grouped MXU matmuls.
+
+        Contiguous m-groups, each padded only to its own max active-latitude
+        count ndglu(m0) and coefficient count — the TPU analogue of the GPU
+        backend's per-m packed GEMM offsets
+        (``gpu/internal/sump_trans_mod.F90:273-298``).  ~2.3x smaller than the
+        dense (M, ndgnh, K) batch at TCO1279.
+        """
+        import jax.numpy as jnp
+
+        M, ndgnh, nmax = self.M, self.ndgnh, self.nsmax + 1
+        if ngroups is None:
+            ngroups = max(1, min(16, M // 8))
+        bs = -(-M // ngroups)
+        groups = []
+        for gi in range(ngroups):
+            m0 = gi * bs
+            m1 = min(M, m0 + bs)
+            if m0 >= M:
+                break
+            ig = int(self.ndglu[m0])       # ndglu is non-increasing in m
+            i0 = ndgnh - ig
+            kg = (nmax - m0) // 2 + 1      # max parity coeff count in group
+            groups.append(LegendreGroup(
+                m0=m0, m1=m1, i0=i0, kg=kg,
+                psym=jnp.asarray(self.psym[m0:m1, i0:, :kg], dtype=dtype_str),
+                pasym=jnp.asarray(self.pasym[m0:m1, i0:, :kg], dtype=dtype_str),
+            ))
+        return GroupedLegendre(groups=tuple(groups), ndgnh=ndgnh, kmax=self.kmax)
+
+    @functools.lru_cache(maxsize=4)
     def device_tables(self, dtype: Any = np.float32) -> "DeviceTables":
         import jax.numpy as jnp
 
         f = lambda x: jnp.asarray(x, dtype=dtype)
         i = lambda x: jnp.asarray(x, dtype=jnp.int32)
         return DeviceTables(
-            psym=f(self.psym),
-            pasym=f(self.pasym),
             w=f(self.w),
             eps=f(self.eps),
             rlapin=f(self.rlapin),
@@ -113,12 +144,31 @@ class Resolution:
 
 
 @dataclasses.dataclass(frozen=True)
-class DeviceTables:
-    """Device-resident arrays (the analogue of the GPU backend's FG state,
-    tpm_fields_gpu.F90)."""
+class LegendreGroup:
+    """One contiguous m-group: tensors (m1-m0, ndgnh-i0, kg)."""
 
+    m0: int
+    m1: int
+    i0: int     # first active NH latitude index (= ndgnh - ndglu(m0))
+    kg: int     # parity coefficient extent for this group
     psym: Any
     pasym: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupedLegendre:
+    groups: tuple
+    ndgnh: int
+    kmax: int
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceTables:
+    """Device-resident arrays (the analogue of the GPU backend's FG state,
+    tpm_fields_gpu.F90).  The Legendre tensors themselves live in
+    ``GroupedLegendre`` (grouped, memory-tight); DeviceTables holds the small
+    per-resolution coefficient/index tables."""
+
     w: Any
     eps: Any
     rlapin: Any
@@ -196,10 +246,19 @@ def _setup_from_grid(grid: GridSpec, radius: float) -> Resolution:
     ndglu = grid.ndglu()
     mu_nh = mu[: grid.ndgnh]
 
-    from .cache import load_legendre_cached
+    from .cache import load_parity_cached
 
-    ptable = load_legendre_cached(grid, mu_nh, nmen[: grid.ndgnh])
-    psym, pasym, kmax = split_parity(ptable, nsmax)
+    # Host tables in fp64 for modest resolutions (exact fp64 transforms);
+    # above ECTRANS_TPU_FP64_TABLE_LIMIT the tables are built fp32 —
+    # device compute is fp32 there anyway and the table build/transfer is
+    # memory-bound (the reference's own single-precision build precedent).
+    import os as _os
+
+    fp64_limit = int(_os.environ.get("ECTRANS_TPU_FP64_TABLE_LIMIT", "800"))
+    tdtype = np.float64 if nsmax <= fp64_limit else np.float32
+    psym, pasym, kmax = load_parity_cached(
+        grid, mu_nh, nmen[: grid.ndgnh], dtype=tdtype
+    )
 
     eps = eps_table(nsmax, 3)
     n_arr = np.arange(NP + 1, dtype=np.float64)

@@ -121,6 +121,7 @@ def inv_trans(
         _check_spec(nm, arr, res)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
+    gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
     racthe = tables.racthe[None, None, None, :]  # broadcast over (f, c, m, lat)
 
@@ -130,7 +131,7 @@ def inv_trans(
 
     def lt(dense):
         sym, asym = layout.dense_to_parity(dense, tables)
-        return legendre_matmul.legendre_inv(sym, asym, tables)
+        return legendre_matmul.legendre_inv_grouped(sym, asym, gl)
 
     out_groups = []  # ordered (name, fourier tensor) matching PGP contract
     uv_four = None
@@ -184,6 +185,7 @@ def dir_trans(
         _check_grid_arg(nm, arr, res)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
+    gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
     racthe = tables.racthe[None, None, None, :]
 
@@ -202,7 +204,7 @@ def dir_trans(
         uvpart = four[: 2 * nfld_uv] * racthe
         four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
 
-    sym, asym = legendre_matmul.legendre_dir(four, tables)
+    sym, asym = legendre_matmul.legendre_dir_grouped(four, gl, tables.w[: res.ndgnh])
     dense = layout.parity_to_dense(sym, asym, tables, res.NP)
 
     spvor = spdiv = spsc = None

@@ -72,7 +72,8 @@ def test_vordiv_to_uv_standalone():
     tables = res.device_tables(jnp.float64)
     du = layout.packed_to_dense(jnp.asarray(su), tables)
     sym, asym = layout.dense_to_parity(du, tables)
-    four = legendre_matmul.legendre_inv(sym, asym, tables)
+    gl = res.grouped_legendre("float64")
+    four = legendre_matmul.legendre_inv_grouped(sym, asym, gl)
     u1 = synthesis(four * tables.racthe[None, None, None, :], tables_for(res, jnp.float64))
 
     ct = _coeff_tables(res, "float64")
@@ -81,7 +82,7 @@ def test_vordiv_to_uv_standalone():
     du2, _ = sops.vordiv_to_uv(dvor, ddiv, ct["vd"])
     du2 = du2 * (jnp.arange(res.NP) <= res.nsmax)  # drop n = nsmax+1 row
     sym2, asym2 = layout.dense_to_parity(du2, tables)
-    four2 = legendre_matmul.legendre_inv(sym2, asym2, tables)
+    four2 = legendre_matmul.legendre_inv_grouped(sym2, asym2, gl)
     u2 = synthesis(four2 * tables.racthe[None, None, None, :], tables_for(res, jnp.float64))
     assert np.abs(np.asarray(u1) - np.asarray(u2)).max() < 1e-9
 
