@@ -50,7 +50,9 @@ def run(config: str):
 
     spvor, spdiv, spsc = packed(NFLD_UV), packed(NFLD_UV), packed(NFLD_SC)
 
-    @jax.jit
+    # NB: no outer jax.jit — inv_trans/dir_trans are jitted internally with
+    # the precomputed tables passed as arguments (an outer jit would inline
+    # the tables into the HLO as multi-GB constants).
     def step(spvor, spdiv, spsc):
         grid = et.inv_trans(res, spvor=spvor, spdiv=spdiv, spscalar=spsc, flags=flags)
         u = grid[0:NFLD_UV]

@@ -24,7 +24,9 @@ use ``lam.biper.biperiodicize`` to extend C+I data first.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.fourier import analysis_uniform, synthesis_uniform, uniform_dft_tables
@@ -82,11 +84,8 @@ def uv_to_vordiv_lam(du, dv, t):
     return vor * t["valid"], div * t["valid"], meanu, meanv
 
 
-def _synth2d(dense, res: LamResolution, dtype):
+def _synth2d(dense, uty, utx):
     """dense (nfld, 4, M, N) -> grid (nfld, ny, nx)."""
-    g = res.grid
-    uty = uniform_dft_tables(g.ny, g.nsmax, str(dtype))
-    utx = uniform_dft_tables(g.nx, g.msmax, str(dtype))
     # meridional synthesis per zonal component: (f, M, N) -> (f, M, ny)
     gre = synthesis_uniform(dense[:, 0], dense[:, 1], uty)
     gim = synthesis_uniform(dense[:, 2], dense[:, 3], uty)
@@ -94,15 +93,63 @@ def _synth2d(dense, res: LamResolution, dtype):
     return synthesis_uniform(gre.swapaxes(1, 2), gim.swapaxes(1, 2), utx)
 
 
-def _anal2d(grid, res: LamResolution, dtype):
-    """grid (nfld, ny, nx) -> dense (nfld, 4, M, N), elliptically truncated."""
-    g = res.grid
-    uty = uniform_dft_tables(g.ny, g.nsmax, str(dtype))
-    utx = uniform_dft_tables(g.nx, g.msmax, str(dtype))
+def _anal2d(grid, uty, utx):
+    """grid (nfld, ny, nx) -> dense (nfld, 4, M, N)."""
     zre, zim = analysis_uniform(grid, utx)          # (f, ny, M)
     rr, ri = analysis_uniform(zre.swapaxes(1, 2), uty)   # (f, M, N)
     ir, ii = analysis_uniform(zim.swapaxes(1, 2), uty)
     return jnp.stack([rr, ri, ir, ii], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("flags",))
+def _lam_inv_impl(t, uty, utx, spvor, spdiv, spscalar, meanu, meanv, flags):
+    dtype = t["kx"].dtype
+    nuv = spvor.shape[0] if spvor is not None else 0
+    groups = []
+    uvd = None
+    if nuv:
+        dvor = packed_to_dense(spvor.astype(dtype), t)
+        ddiv = packed_to_dense(spdiv.astype(dtype), t)
+        du, dv = vordiv_to_uv_lam(dvor, ddiv, t, meanu, meanv)
+        if flags.vorgp:
+            groups.append(dvor)
+        if flags.divgp:
+            groups.append(ddiv)
+        uvd = jnp.concatenate([du, dv], axis=0)
+        groups.append(uvd)
+    scd = None
+    if spscalar is not None:
+        scd = packed_to_dense(spscalar.astype(dtype), t)
+        groups.append(scd)
+        if flags.scders:
+            groups.append(t["ky"] * _imer(scd))  # ESPNSDE
+    if nuv and flags.uvders:
+        groups.append(t["kx"] * _izon(uvd))      # EFSC E-W derivative
+    if spscalar is not None and flags.scders:
+        groups.append(t["kx"] * _izon(scd))
+    dense = jnp.concatenate(groups, axis=0)
+    return _synth2d(dense, uty, utx)
+
+
+@jax.jit
+def _lam_dir_impl(t, uty, utx, u, v, scalars):
+    dtype = t["kx"].dtype
+    nuv = u.shape[0] if u is not None else 0
+    parts = []
+    if nuv:
+        parts += [u.astype(dtype), v.astype(dtype)]
+    if scalars is not None:
+        parts.append(scalars.astype(dtype))
+    grid = jnp.concatenate(parts, axis=0)
+    dense = _anal2d(grid, uty, utx) * t["valid"]
+    spvor = spdiv = spsc = meanu = meanv = None
+    if nuv:
+        dvor, ddiv, meanu, meanv = uv_to_vordiv_lam(dense[:nuv], dense[nuv:2 * nuv], t)
+        spvor = dense_to_packed(dvor, t)
+        spdiv = dense_to_packed(ddiv, t)
+    if scalars is not None:
+        spsc = dense_to_packed(dense[2 * nuv :], t)
+    return spvor, spdiv, spsc, meanu, meanv
 
 
 def inv_trans_lam(
@@ -128,38 +175,14 @@ def inv_trans_lam(
         raise ValueError("nothing to transform")
     dtype = jnp.dtype(dtype)
     t = res.device_tables(str(dtype))
+    g = res.grid
+    uty = uniform_dft_tables(g.ny, g.nsmax, str(dtype))
+    utx = uniform_dft_tables(g.nx, g.msmax, str(dtype))
     nuv = spvor.shape[0] if spvor is not None else 0
-
-    groups = []
-    uvd = None
     if nuv:
-        dvor = packed_to_dense(spvor.astype(dtype), t)
-        ddiv = packed_to_dense(spdiv.astype(dtype), t)
-        if meanu is None:
-            meanu = jnp.zeros((nuv,), dtype)
-        if meanv is None:
-            meanv = jnp.zeros((nuv,), dtype)
-        du, dv = vordiv_to_uv_lam(dvor, ddiv, t,
-                                  jnp.asarray(meanu, dtype), jnp.asarray(meanv, dtype))
-        if flags.vorgp:
-            groups.append(dvor)
-        if flags.divgp:
-            groups.append(ddiv)
-        uvd = jnp.concatenate([du, dv], axis=0)
-        groups.append(uvd)
-    scd = None
-    if spscalar is not None:
-        scd = packed_to_dense(spscalar.astype(dtype), t)
-        groups.append(scd)
-        if flags.scders:
-            groups.append(t["ky"] * _imer(scd))  # ESPNSDE
-    if nuv and flags.uvders:
-        groups.append(t["kx"] * _izon(uvd))      # EFSC E-W derivative
-    if spscalar is not None and flags.scders:
-        groups.append(t["kx"] * _izon(scd))
-
-    dense = jnp.concatenate(groups, axis=0)
-    return _synth2d(dense, res, dtype)
+        meanu = jnp.zeros((nuv,), dtype) if meanu is None else jnp.asarray(meanu, dtype)
+        meanv = jnp.zeros((nuv,), dtype) if meanv is None else jnp.asarray(meanv, dtype)
+    return _lam_inv_impl(t, uty, utx, spvor, spdiv, spscalar, meanu, meanv, flags)
 
 
 def dir_trans_lam(
@@ -182,20 +205,7 @@ def dir_trans_lam(
         raise ValueError("nothing to transform")
     dtype = jnp.dtype(dtype)
     t = res.device_tables(str(dtype))
-    nuv = u.shape[0] if u is not None else 0
-    parts = []
-    if nuv:
-        parts += [u.astype(dtype), v.astype(dtype)]
-    if scalars is not None:
-        parts.append(scalars.astype(dtype))
-    grid = jnp.concatenate(parts, axis=0)
-
-    dense = _anal2d(grid, res, dtype) * t["valid"]
-    spvor = spdiv = spsc = meanu = meanv = None
-    if nuv:
-        dvor, ddiv, meanu, meanv = uv_to_vordiv_lam(dense[:nuv], dense[nuv:2 * nuv], t)
-        spvor = dense_to_packed(dvor, t)
-        spdiv = dense_to_packed(ddiv, t)
-    if scalars is not None:
-        spsc = dense_to_packed(dense[2 * nuv :], t)
-    return spvor, spdiv, spsc, meanu, meanv
+    g = res.grid
+    uty = uniform_dft_tables(g.ny, g.nsmax, str(dtype))
+    utx = uniform_dft_tables(g.nx, g.msmax, str(dtype))
+    return _lam_dir_impl(t, uty, utx, u, v, scalars)

@@ -133,11 +133,37 @@ def host_bluestein_tables(nloen: tuple, nmen: tuple, nsmax: int) -> dict:
     )
 
 
+_PYTREES_REGISTERED = False
+
+
+def _ensure_pytrees():
+    """Register table containers as pytrees (passed as jit arguments, never
+    closed over — see resolution._register_pytrees)."""
+    global _PYTREES_REGISTERED
+    if _PYTREES_REGISTERED:
+        return
+    import dataclasses as _dc
+
+    import jax
+
+    for cls, meta in (
+        (BluesteinTables, ["nfft", "mmax", "ndlon"]),
+        (UniformDftTables, ["L", "kmax", "nfft"]),
+    ):
+        jax.tree_util.register_dataclass(
+            cls,
+            data_fields=[f.name for f in _dc.fields(cls) if f.name not in meta],
+            meta_fields=meta,
+        )
+    _PYTREES_REGISTERED = True
+
+
 @functools.lru_cache(maxsize=8)
 def build_bluestein_tables(grid_key, dtype_str: str) -> BluesteinTables:
     """Device tables; grid_key: (nloen tuple, nmen tuple, nsmax)."""
     import jax.numpy as jnp
 
+    _ensure_pytrees()
     nloen, nmen, nsmax = grid_key
     dt = np.dtype(dtype_str)
     h = host_bluestein_tables(nloen, nmen, nsmax)
@@ -197,6 +223,7 @@ class UniformDftTables:
 def uniform_dft_tables(L: int, kmax: int, dtype_str: str = "float32") -> UniformDftTables:
     import jax.numpy as jnp
 
+    _ensure_pytrees()
     dt = np.dtype(dtype_str)
     nfft = _next_pow2(L + kmax + 1)
     ks = np.arange(kmax + 1)

@@ -102,6 +102,7 @@ class Resolution:
         """
         import jax.numpy as jnp
 
+        _ensure_pytrees()
         M, ndgnh, nmax = self.M, self.ndgnh, self.nsmax + 1
         if ngroups is None:
             ngroups = max(1, min(16, M // 8))
@@ -126,6 +127,7 @@ class Resolution:
     def device_tables(self, dtype: Any = np.float32) -> "DeviceTables":
         import jax.numpy as jnp
 
+        _ensure_pytrees()
         f = lambda x: jnp.asarray(x, dtype=dtype)
         i = lambda x: jnp.asarray(x, dtype=jnp.int32)
         return DeviceTables(
@@ -160,6 +162,30 @@ class GroupedLegendre:
     groups: tuple
     ndgnh: int
     kmax: int
+
+
+def _register_pytrees():
+    """Register the table containers as JAX pytrees so they are passed to
+    jitted kernels as runtime *arguments* — never closed over (a closed-over
+    multi-GB table would be embedded into the HLO as a constant, which both
+    bloats compile payloads and defeats buffer reuse)."""
+    import jax
+
+    jax.tree_util.register_dataclass(
+        LegendreGroup,
+        data_fields=["psym", "pasym"],
+        meta_fields=["m0", "m1", "i0", "kg"],
+    )
+    jax.tree_util.register_dataclass(
+        GroupedLegendre,
+        data_fields=["groups"],
+        meta_fields=["ndgnh", "kmax"],
+    )
+    jax.tree_util.register_dataclass(
+        DeviceTables,
+        data_fields=[f.name for f in dataclasses.fields(DeviceTables)],
+        meta_fields=[],
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -220,6 +246,16 @@ def _build_parity_maps(nsmax: int, NP: int, kmax: int):
         ka = np.arange((nmax - m - 1) // 2 + 1) if m + 1 <= nmax else np.arange(0)
         idx_asym[m, : ka.size] = m + 1 + 2 * ka
     return idx_sym, idx_asym
+
+
+_PYTREES_REGISTERED = False
+
+
+def _ensure_pytrees():
+    global _PYTREES_REGISTERED
+    if not _PYTREES_REGISTERED:
+        _register_pytrees()
+        _PYTREES_REGISTERED = True
 
 
 @functools.lru_cache(maxsize=16)

@@ -7,10 +7,15 @@ on whole (field, wavenumber, latitude) tensors at once — there are no per-m
 or per-latitude loops, and XLA fuses the elementwise stages (FSC scaling,
 recombination) into the surrounding matmuls/FFTs.
 
+The compute kernels are jitted with all precomputed tables passed as
+*arguments* (registered pytrees): closing over multi-GB tables would embed
+them into the HLO as constants, which bloats compile payloads (the axon
+remote-compile path hard-rejects them) and defeats XLA buffer reuse.
+
 Inverse pipeline (spectral -> grid):
     packed -> dense -> [VDTUV winds] -> [SPNSDE N-S derivs] -> parity split
-    -> batched inverse Legendre matmul -> FSC (1/(a cos) scaling + E-W derivs)
-    -> batched (i)rfft / Bluestein -> grid
+    -> grouped inverse Legendre matmuls -> FSC (1/(a cos) scaling + E-W
+    derivs) -> batched (i)rfft / Bluestein -> grid
 
 Direct pipeline (grid -> spectral) is the exact mirror with Gaussian
 quadrature and UVTVD.
@@ -26,6 +31,7 @@ import dataclasses
 import functools
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,14 +68,6 @@ def _coeff_tables(res: Resolution, dtype_str: str):
     )
 
 
-def _fourier_synthesis(res, tables, four, dtype):
-    return fourier.synthesis(four, fourier.tables_for(res, dtype))
-
-
-def _fourier_analysis(res, tables, grid, dtype):
-    return fourier.analysis(grid, fourier.tables_for(res, dtype), res.M)
-
-
 def _ew_derivative(four, racthe):
     """i*m*F scaled by 1/(a cos): Fourier-space E-W derivative (FSC 2.x)."""
     M = four.shape[2]
@@ -95,6 +93,83 @@ def _check_grid_arg(name, arr, res):
             f"{name} must have shape (nfld, ndgl={res.ndgl}, "
             f"ndlon={res.grid.ndlon}), got {arr.shape}"
         )
+
+
+@functools.partial(jax.jit, static_argnames=("flags",))
+def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags):
+    dtype = tables.racthe.dtype
+    racthe = tables.racthe[None, None, None, :]  # broadcast over (f, c, m, lat)
+    nfld_uv = spvor.shape[0] if spvor is not None else 0
+    nfld_sc = spscalar.shape[0] if spscalar is not None else 0
+
+    def lt(dense):
+        sym, asym = layout.dense_to_parity(dense, tables)
+        return legendre_matmul.legendre_inv_grouped(sym, asym, gl)
+
+    out_groups = []  # ordered fourier tensors matching the PGP contract
+    uv_four = None
+    if nfld_uv:
+        dvor = layout.packed_to_dense(spvor.astype(dtype), tables)
+        ddiv = layout.packed_to_dense(spdiv.astype(dtype), tables)
+        du, dv = spectral.vordiv_to_uv(dvor, ddiv, ct["vd"])
+        if flags.vorgp:
+            out_groups.append(lt(dvor))
+        if flags.divgp:
+            out_groups.append(lt(ddiv))
+        uv_four = lt(jnp.concatenate([du, dv], axis=0)) * racthe
+        out_groups.append(uv_four)
+    sc_four = None
+    if nfld_sc:
+        dsc = layout.packed_to_dense(spscalar.astype(dtype), tables)
+        sc_four = lt(dsc)
+        out_groups.append(sc_four)
+        if flags.scders:
+            dnsd = spectral.ns_derivative(dsc, ct["nsd"])
+            out_groups.append(lt(dnsd) * racthe)
+    if nfld_uv and flags.uvders:
+        out_groups.append(_ew_derivative(uv_four, racthe))
+    if nfld_sc and flags.scders:
+        out_groups.append(_ew_derivative(sc_four, racthe))
+
+    four = jnp.concatenate(out_groups, axis=0)
+    return fourier.synthesis(four, bt)
+
+
+@jax.jit
+def _dir_impl(tables, gl, ct, bt, u, v, scalars):
+    dtype = tables.racthe.dtype
+    racthe = tables.racthe[None, None, None, :]
+    nfld_uv = u.shape[0] if u is not None else 0
+    parts = []
+    if nfld_uv:
+        parts.append(u.astype(dtype))
+        parts.append(v.astype(dtype))
+    if scalars is not None:
+        parts.append(scalars.astype(dtype))
+    grid = jnp.concatenate(parts, axis=0)
+
+    M = tables.dense_gather.shape[1]
+    NP = tables.dense_gather.shape[2]
+    four = fourier.analysis(grid, bt, M)
+    if nfld_uv:
+        # LDFOU2: scale u, v Fourier coefficients by 1/(a cos(theta))
+        uvpart = four[: 2 * nfld_uv] * racthe
+        four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
+
+    ndgnh = gl.ndgnh
+    sym, asym = legendre_matmul.legendre_dir_grouped(four, gl, tables.w[:ndgnh])
+    dense = layout.parity_to_dense(sym, asym, tables, NP)
+
+    spvor = spdiv = spsc = None
+    if nfld_uv:
+        du = dense[:nfld_uv]
+        dv = dense[nfld_uv : 2 * nfld_uv]
+        dvor, ddiv = spectral.uv_to_vordiv(du, dv, ct["uvtvd"])
+        spvor = layout.dense_to_packed(dvor, tables)
+        spdiv = layout.dense_to_packed(ddiv, tables)
+    if scalars is not None:
+        spsc = layout.dense_to_packed(dense[2 * nfld_uv :], tables)
+    return spvor, spdiv, spsc
 
 
 def inv_trans(
@@ -123,43 +198,8 @@ def inv_trans(
     tables = res.device_tables(dtype)
     gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
-    racthe = tables.racthe[None, None, None, :]  # broadcast over (f, c, m, lat)
-
-    four_groups = []       # list of (fourier_tensor, scale_by_racthe: bool)
-    nfld_uv = spvor.shape[0] if spvor is not None else 0
-    nfld_sc = spscalar.shape[0] if spscalar is not None else 0
-
-    def lt(dense):
-        sym, asym = layout.dense_to_parity(dense, tables)
-        return legendre_matmul.legendre_inv_grouped(sym, asym, gl)
-
-    out_groups = []  # ordered (name, fourier tensor) matching PGP contract
-    uv_four = None
-    if nfld_uv:
-        dvor = layout.packed_to_dense(spvor.astype(dtype), tables)
-        ddiv = layout.packed_to_dense(spdiv.astype(dtype), tables)
-        du, dv = spectral.vordiv_to_uv(dvor, ddiv, ct["vd"])
-        if flags.vorgp:
-            out_groups.append(lt(dvor))
-        if flags.divgp:
-            out_groups.append(lt(ddiv))
-        uv_four = lt(jnp.concatenate([du, dv], axis=0)) * racthe
-        out_groups.append(uv_four)
-    sc_four = None
-    if nfld_sc:
-        dsc = layout.packed_to_dense(spscalar.astype(dtype), tables)
-        sc_four = lt(dsc)
-        out_groups.append(sc_four)
-        if flags.scders:
-            dnsd = spectral.ns_derivative(dsc, ct["nsd"])
-            out_groups.append(lt(dnsd) * racthe)
-    if nfld_uv and flags.uvders:
-        out_groups.append(_ew_derivative(uv_four, racthe))
-    if nfld_sc and flags.scders:
-        out_groups.append(_ew_derivative(sc_four, racthe))
-
-    four = jnp.concatenate(out_groups, axis=0)
-    return _fourier_synthesis(res, tables, four, dtype)
+    bt = fourier.tables_for(res, dtype)
+    return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags)
 
 
 def dir_trans(
@@ -187,33 +227,5 @@ def dir_trans(
     tables = res.device_tables(dtype)
     gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
-    racthe = tables.racthe[None, None, None, :]
-
-    nfld_uv = u.shape[0] if u is not None else 0
-    parts = []
-    if nfld_uv:
-        parts.append(u.astype(dtype))
-        parts.append(v.astype(dtype))
-    if scalars is not None:
-        parts.append(scalars.astype(dtype))
-    grid = jnp.concatenate(parts, axis=0)
-
-    four = _fourier_analysis(res, tables, grid, dtype)
-    if nfld_uv:
-        # LDFOU2: scale u, v Fourier coefficients by 1/(a cos(theta))
-        uvpart = four[: 2 * nfld_uv] * racthe
-        four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
-
-    sym, asym = legendre_matmul.legendre_dir_grouped(four, gl, tables.w[: res.ndgnh])
-    dense = layout.parity_to_dense(sym, asym, tables, res.NP)
-
-    spvor = spdiv = spsc = None
-    if nfld_uv:
-        du = dense[:nfld_uv]
-        dv = dense[nfld_uv : 2 * nfld_uv]
-        dvor, ddiv = spectral.uv_to_vordiv(du, dv, ct["uvtvd"])
-        spvor = layout.dense_to_packed(dvor, tables)
-        spdiv = layout.dense_to_packed(ddiv, tables)
-    if scalars is not None:
-        spsc = layout.dense_to_packed(dense[2 * nfld_uv :], tables)
-    return spvor, spdiv, spsc
+    bt = fourier.tables_for(res, dtype)
+    return _dir_impl(tables, gl, ct, bt, u, v, scalars)
