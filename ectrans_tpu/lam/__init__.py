@@ -7,6 +7,7 @@ meridional DFT (reference ELEINV/ELEDIR, ``eledir_mod.F90:72-101``) and the
 elliptic-truncation spectral space of ELLIPS (``ellips.F90``).
 """
 
+from .api import LamTransform
 from .geometry import LamGrid, ellips, make_lam_grid
 from .resolution import LamResolution, setup_lam
 from .transform import LamInvFlags, dir_trans_lam, inv_trans_lam
@@ -17,6 +18,7 @@ from .adjoint import dir_trans_lam_adj, inv_trans_lam_adj
 __all__ = [
     "LamGrid",
     "LamInvFlags",
+    "LamTransform",
     "LamResolution",
     "biperiodicize",
     "dir_trans_lam",

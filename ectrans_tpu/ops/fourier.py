@@ -30,7 +30,6 @@ from typing import Any
 
 import numpy as np
 
-from .realfft import fft_pow2, ifft_pow2
 
 
 def _next_pow2(n: int) -> int:
@@ -94,6 +93,9 @@ def host_bluestein_tables(nloen: tuple, nmen: tuple, nsmax: int) -> dict:
     ana_bh = np.zeros((ndgl, nfft), dtype=np.complex128)
     ana_out = np.zeros((ndgl, mmax + 1), dtype=np.complex128)
 
+    from . import fft_fourstep
+
+    om = fft_fourstep.ord_map(nfft)
     for l, (L, me) in enumerate(zip(nloen, nmen)):
         me = min(me, mmax)
         ms = np.arange(me + 1)
@@ -105,7 +107,7 @@ def host_bluestein_tables(nloen: tuple, nmen: tuple, nsmax: int) -> dict:
         ks = np.arange(-mmax, L)  # k = j - m
         b = np.zeros(nfft, dtype=np.complex128)
         b[ks % nfft] = _chirp(L, ks, -1.0)
-        syn_bh[l] = np.fft.fft(b)
+        syn_bh[l] = np.fft.fft(b)[om]  # pre-permuted to fourstep ORD
         syn_out[l, :L] = _chirp(L, js, +1.0)
         # analysis: F_m = (1/L) e^{-i pi m^2/L}
         #                  sum_j (f_j e^{-i pi j^2/L}) e^{+i pi (m-j)^2/L}
@@ -113,7 +115,7 @@ def host_bluestein_tables(nloen: tuple, nmen: tuple, nsmax: int) -> dict:
         ks2 = np.arange(-(L - 1), mmax + 1)  # k = m - j
         b2 = np.zeros(nfft, dtype=np.complex128)
         b2[ks2 % nfft] = _chirp(L, ks2, +1.0)
-        ana_bh[l] = np.fft.fft(b2)
+        ana_bh[l] = np.fft.fft(b2)[om]  # pre-permuted to fourstep ORD
         ana_out[l, : me + 1] = _chirp(L, ms, -1.0) / L
 
     return dict(
@@ -224,8 +226,11 @@ def uniform_dft_tables(L: int, kmax: int, dtype_str: str = "float32") -> Uniform
     import jax.numpy as jnp
 
     _ensure_pytrees()
+    from . import fft_fourstep
+
     dt = np.dtype(dtype_str)
     nfft = _next_pow2(L + kmax + 1)
+    om = fft_fourstep.ord_map(nfft)
     ks = np.arange(kmax + 1)
     js = np.arange(L)
     cm = np.where(ks == 0, 1.0, 2.0)
@@ -233,13 +238,13 @@ def uniform_dft_tables(L: int, kmax: int, dtype_str: str = "float32") -> Uniform
     b = np.zeros(nfft, dtype=np.complex128)
     kk = np.arange(-kmax, L)
     b[kk % nfft] = _chirp(L, kk, -1.0)
-    syn_bh = np.fft.fft(b)
+    syn_bh = np.fft.fft(b)[om]  # pre-permuted to fourstep ORD
     syn_out = _chirp(L, js, +1.0)
     ana_in = _chirp(L, js, -1.0)
     b2 = np.zeros(nfft, dtype=np.complex128)
     kk2 = np.arange(-(L - 1), kmax + 1)
     b2[kk2 % nfft] = _chirp(L, kk2, +1.0)
-    ana_bh = np.fft.fft(b2)
+    ana_bh = np.fft.fft(b2)[om]
     ana_out = _chirp(L, ks, -1.0) / L
     f = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(dt))
     return UniformDftTables(
@@ -255,38 +260,79 @@ def uniform_dft_tables(L: int, kmax: int, dtype_str: str = "float32") -> Uniform
 
 def synthesis_uniform(re, im, ut: UniformDftTables):
     """(..., kmax+1) half-complex coeffs -> (..., L) real signal."""
+    from . import fft_fourstep
+
     ar, ai = _cmul(re, im, ut.syn_in_r, ut.syn_in_i)
-    fr, fi = fft_pow2(_pad_last(ar, ut.nfft), _pad_last(ai, ut.nfft), -1)
+    fr, fi = fft_fourstep.fft_ord(_pad_last(ar, ut.nfft), _pad_last(ai, ut.nfft))
     cr, ci = _cmul(fr, fi, ut.syn_bh_r, ut.syn_bh_i)
-    vr, vi = ifft_pow2(cr, ci)
+    vr, vi = fft_fourstep.ifft_from_ord(cr, ci)
     vr, vi = vr[..., : ut.L], vi[..., : ut.L]
     return vr * ut.syn_out_r - vi * ut.syn_out_i
 
 
 def analysis_uniform(x, ut: UniformDftTables):
     """(..., L) real signal -> ((..., kmax+1) re, (..., kmax+1) im)."""
+    from . import fft_fourstep
+
     ar = x * ut.ana_in_r
     ai = x * ut.ana_in_i
-    fr, fi = fft_pow2(_pad_last(ar, ut.nfft), _pad_last(ai, ut.nfft), -1)
+    fr, fi = fft_fourstep.fft_ord(_pad_last(ar, ut.nfft), _pad_last(ai, ut.nfft))
     cr, ci = _cmul(fr, fi, ut.ana_bh_r, ut.ana_bh_i)
-    vr, vi = ifft_pow2(cr, ci)
+    vr, vi = fft_fourstep.ifft_from_ord(cr, ci)
     vr, vi = vr[..., : ut.kmax + 1], vi[..., : ut.kmax + 1]
     return _cmul(vr, vi, ut.ana_out_r, ut.ana_out_i)
+
+
+# working-set budget for one Bluestein convolution chunk (bytes); the
+# convolution holds ~6 arrays of (chunk, ndgl, nfft) fp32 live at once
+_CHUNK_BYTES = int(1.5e9)
+
+
+def _field_chunks(nrows: int, nfft: int, itemsize: int) -> int:
+    per_field = nrows * nfft * itemsize * 6
+    return max(1, _CHUNK_BYTES // max(1, per_field))
+
+
+def _chunked_conv(ar, ai, bhr, bhi):
+    """Bluestein convolution core: pad to nfft, forward four-step FFT (ORD),
+    pointwise multiply with the pre-permuted chirp FFT, inverse.  Chunked
+    over the leading (field) axis so the TCO1279-scale working set never
+    exceeds HBM.  NB: an unrolled Python loop, NOT lax.map — the while-loop
+    lowering miscompiles on the axon TPU backend (wrong results; the same
+    map is correct on CPU)."""
+    import jax.numpy as jnp
+
+    from . import fft_fourstep
+
+    nfft = bhr.shape[-1]
+
+    def body(car, cai):
+        fr, fi = fft_fourstep.fft_ord(_pad_last(car, nfft), _pad_last(cai, nfft))
+        cr, ci = _cmul(fr, fi, bhr, bhi)
+        return fft_fourstep.ifft_from_ord(cr, ci)
+
+    F = ar.shape[0]
+    chunk = _field_chunks(int(np.prod(ar.shape[1:-1])), nfft, ar.dtype.itemsize)
+    if F <= chunk:
+        return body(ar, ai)
+    outs = [body(ar[i : i + chunk], ai[i : i + chunk])
+            for i in range(0, F, chunk)]
+    vr = jnp.concatenate([o[0] for o in outs], axis=0)
+    vi = jnp.concatenate([o[1] for o in outs], axis=0)
+    return vr, vi
 
 
 def synthesis(fourier, bt: BluesteinTables):
     """(nfld, 2, M, ndgl) Fourier coeffs -> grid (nfld, ndgl, ndlon).
 
     Ragged rows (lat with NLOEN < ndlon) are zero beyond their length.  One
-    batched power-of-two FFT pair of length bt.nfft covers every latitude.
+    batched chirp-z (four-step MXU FFT) covers every latitude.
     """
     re = fourier[:, 0].swapaxes(1, 2)  # (nfld, ndgl, M)
     im = fourier[:, 1].swapaxes(1, 2)
     M = re.shape[-1]
     ar, ai = _cmul(re, im, bt.syn_in_r[None, :, :M], bt.syn_in_i[None, :, :M])
-    fr, fi = fft_pow2(_pad_last(ar, bt.nfft), _pad_last(ai, bt.nfft), -1)
-    cr, ci = _cmul(fr, fi, bt.syn_bh_r[None], bt.syn_bh_i[None])
-    vr, vi = ifft_pow2(cr, ci)
+    vr, vi = _chunked_conv(ar, ai, bt.syn_bh_r[None], bt.syn_bh_i[None])
     vr, vi = vr[..., : bt.ndlon], vi[..., : bt.ndlon]
     out = vr * bt.syn_out_r[None] - vi * bt.syn_out_i[None]  # real part only
     return out.astype(fourier.dtype)
@@ -298,9 +344,7 @@ def analysis(grid, bt: BluesteinTables, M: int):
 
     ar = grid * bt.ana_in_r[None]
     ai = grid * bt.ana_in_i[None]
-    fr, fi = fft_pow2(_pad_last(ar, bt.nfft), _pad_last(ai, bt.nfft), -1)
-    cr, ci = _cmul(fr, fi, bt.ana_bh_r[None], bt.ana_bh_i[None])
-    vr, vi = ifft_pow2(cr, ci)
+    vr, vi = _chunked_conv(ar, ai, bt.ana_bh_r[None], bt.ana_bh_i[None])
     vr, vi = vr[..., : bt.mmax + 1], vi[..., : bt.mmax + 1]
     outr, outi = _cmul(vr, vi, bt.ana_out_r[None], bt.ana_out_i[None])
     out = jnp.stack([outr[..., :M], outi[..., :M]], axis=1)  # (nfld, 2, ndgl, M)

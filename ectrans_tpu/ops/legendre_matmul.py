@@ -84,13 +84,16 @@ def legendre_dir_grouped(fourier, gl, w, precision=jax.lax.Precision.HIGHEST):
     acc = jnp.float32 if fourier.dtype in (jnp.float32, jnp.bfloat16) else fourier.dtype
     north_all = fourier[..., :ndgnh]
     south_all = fourier[..., : ndgnh - 1 : -1]  # paired with NH index
+    fsym_all = (north_all + south_all) * w
+    fasym_all = (north_all - south_all) * w
+    # Materialise before the matmuls: fusing the reversed-latitude slice
+    # into the per-group contractions miscompiles on the axon TPU backend
+    # (silently wrong results at some batch sizes; exact at others).
+    fsym_all, fasym_all = jax.lax.optimization_barrier((fsym_all, fasym_all))
     syms, asyms = [], []
     for g in gl.groups:
-        north = north_all[:, :, g.m0 : g.m1, g.i0 :]
-        south = south_all[:, :, g.m0 : g.m1, g.i0 :]
-        wg = w[g.i0 : ndgnh]
-        fsym = (north + south) * wg
-        fasym = (north - south) * wg
+        fsym = fsym_all[:, :, g.m0 : g.m1, g.i0 :]
+        fasym = fasym_all[:, :, g.m0 : g.m1, g.i0 :]
         sym = jnp.einsum("mik,fcmi->fcmk", g.psym, fsym,
                          precision=precision, preferred_element_type=acc).astype(fourier.dtype)
         asym = jnp.einsum("mik,fcmi->fcmk", g.pasym, fasym,

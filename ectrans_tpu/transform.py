@@ -95,8 +95,9 @@ def _check_grid_arg(name, arr, res):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("flags",))
-def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags):
+@functools.partial(jax.jit, static_argnames=("flags", "fspgl_proc"))
+def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
+              fspgl_proc=None):
     dtype = tables.racthe.dtype
     racthe = tables.racthe[None, None, None, :]  # broadcast over (f, c, m, lat)
     nfld_uv = spvor.shape[0] if spvor is not None else 0
@@ -132,6 +133,10 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags):
         out_groups.append(_ew_derivative(sc_four, racthe))
 
     four = jnp.concatenate(out_groups, axis=0)
+    if fspgl_proc is not None:
+        # user-supplied Fourier-space hook (reference FSPGL_INT,
+        # fspgl_int_mod.F90: the IFS semi-Lagrangian callback point)
+        four = fspgl_proc(four)
     return fourier.synthesis(four, bt)
 
 
@@ -180,11 +185,16 @@ def inv_trans(
     *,
     flags: InvFlags = InvFlags(),
     dtype=jnp.float32,
+    fspgl_proc=None,
 ):
     """Inverse transform: packed spectral arrays -> grid fields.
 
     spvor/spdiv: (nfld_uv, nspec2); spscalar: (nfld_sc, nspec2).
     Returns (nfld_out, ndgl, ndlon) with the reference PGP field ordering.
+
+    fspgl_proc: optional jittable callback applied to the Fourier-space
+    tensor (nfld_out, 2, M, ndgl) before longitude synthesis (the
+    reference's FSPGL_PROC hook, ``fspgl_int_mod.F90:13-110``).
     """
     if (spvor is None) != (spdiv is None):
         raise ValueError("spvor and spdiv must be supplied together")
@@ -199,7 +209,8 @@ def inv_trans(
     gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.tables_for(res, dtype)
-    return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags)
+    return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
+                     fspgl_proc)
 
 
 def dir_trans(
