@@ -18,6 +18,7 @@ __all__ = [
     "GridSpec",
     "InvFlags",
     "Resolution",
+    "SpectralTransform",
     "dir_trans",
     "full_gaussian_grid",
     "inv_trans",
@@ -26,3 +27,12 @@ __all__ = [
     "octahedral_grid",
     "setup",
 ]
+
+
+def __getattr__(name):
+    # lazy: avoid importing jax-heavy modules at package import
+    if name == "SpectralTransform":
+        from .api import SpectralTransform
+
+        return SpectralTransform
+    raise AttributeError(name)

@@ -78,6 +78,15 @@ class SpectralTransform:
             nfld_uv=nfld_uv, nfld_sc=nfld_sc, dtype=self.dtype,
         )
 
+    def inv_trans_latlon(self, ll, spvor=None, spdiv=None, spscalar=None,
+                         flags: InvFlags = InvFlags()):
+        """Inverse transform onto a regular lat-lon grid (LDLL mode,
+        exact spectral evaluation — see ``ectrans_tpu.latlon``)."""
+        from .latlon import inv_trans_latlon
+
+        return inv_trans_latlon(self.res, ll, spvor, spdiv, spscalar,
+                                flags=flags, dtype=self.dtype)
+
     # -- norms / utilities ----------------------------------------------
     def specnorm(self, spec, met=None):
         return norms.specnorm(self.res, spec, met)

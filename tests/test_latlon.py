@@ -1,0 +1,69 @@
+"""Lat-lon output mode (LDLL equivalent): exact spectral evaluation on
+equidistant latitudes."""
+
+import numpy as np
+import pytest
+import scipy.special as sp
+
+import jax.numpy as jnp
+
+import ectrans_tpu as et
+from ectrans_tpu.latlon import LatLonGrid, inv_trans_latlon
+from ectrans_tpu.transform import InvFlags
+
+
+@pytest.mark.parametrize("nlat,include_poles", [(19, True), (18, True), (20, False)])
+def test_latlon_analytic(nlat, include_poles):
+    res = et.setup("F24", 47)
+    ll = LatLonGrid(nlat=nlat, nlon=36, include_poles=include_poles)
+    from math import factorial
+
+    for m, n, comp in [(0, 3, 0), (2, 5, 0), (4, 9, 1)]:
+        spec = np.zeros((1, res.nspec2))
+        spec[0, res.nasm0[m] + 2 * (n - m) + comp] = 1.0
+        out = np.asarray(
+            inv_trans_latlon(res, ll, spscalar=jnp.asarray(spec), dtype=jnp.float64)
+        )[0]
+        mu = ll.mu
+        lam = 2 * np.pi * np.arange(36) / 36
+        norm = np.sqrt((2 * n + 1) * factorial(n - m) / factorial(n + m))
+        pbar = sp.lpmv(m, n, mu) * ((-1) ** m) * norm
+        cm = 1.0 if m == 0 else 2.0
+        coeff = 1.0 if comp == 0 else 1.0j
+        expect = cm * np.real(coeff * np.exp(1j * m * lam)[None, :]) * pbar[:, None]
+        err = np.abs(out - expect).max()
+        assert err < 1e-11, (nlat, m, n, comp, err)
+
+
+def test_latlon_winds_and_derivs_shape():
+    res = et.setup("O48", 47)
+    ll = LatLonGrid(nlat=25, nlon=48)
+    rng = np.random.default_rng(0)
+
+    def packed(nf):
+        x = rng.standard_normal((nf, res.nspec2))
+        x[:, 1 : 2 * 48 : 2] = 0
+        x[:, 0] = 0
+        return jnp.asarray(x)
+
+    out = inv_trans_latlon(
+        res, ll, packed(1), packed(1), packed(2),
+        flags=InvFlags(scders=True, uvders=True), dtype=jnp.float64,
+    )
+    # u, v, sc(2), nsd(2), uv-ew(2), sc-ew(2)
+    assert out.shape == (10, 25, 48)
+    assert np.isfinite(np.asarray(out)).all()
+    # derivative fields are zeroed at the poles (1/cos singularity)
+    assert np.abs(np.asarray(out[4:, 0])).max() == 0.0
+
+
+def test_latlon_matches_gaussian_at_equator_symmetry():
+    """A zonally-symmetric field evaluated on the lat-lon grid must be
+    longitude-independent."""
+    res = et.setup("F24", 47)
+    ll = LatLonGrid(nlat=37, nlon=72)
+    spec = np.zeros((1, res.nspec2))
+    spec[0, res.nasm0[0] + 2 * 4] = 1.0  # (m=0, n=4)
+    out = np.asarray(inv_trans_latlon(res, ll, spscalar=jnp.asarray(spec),
+                                      dtype=jnp.float64))[0]
+    assert np.abs(out - out[:, :1]).max() < 1e-13
