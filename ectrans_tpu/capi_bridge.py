@@ -1,0 +1,139 @@
+"""Bridge module for the C API (src/capi/ectrans_tpu_capi.c).
+
+The C layer passes raw pointers as integers; this module wraps them
+zero-copy as NumPy arrays (ctypes) and drives the jitted transforms.
+Spectral layout: ecTrans packed (NASM0); grid layout: flat reduced-grid
+points, latitude-major (the transi grid convention) — see
+``utils.blocking._point_index`` and ``compat4py``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+import jax
+
+# The C API trades in double precision (like transi); enable x64 unless the
+# caller overrides (ECTRANS_TPU_CAPI_DTYPE=float32 for TPU backends without
+# fp64 support).
+_DTYPE = os.environ.get("ECTRANS_TPU_CAPI_DTYPE", "float64")
+if _DTYPE == "float64":
+    try:
+        jax.config.update("jax_enable_x64", True)
+    except Exception:
+        _DTYPE = "float32"
+
+import jax.numpy as jnp
+
+_JDT = jnp.dtype(_DTYPE)
+
+from .compat4py import _pack_reduced, _unpack_reduced
+from .norms import specnorm as _specnorm
+from .resolution import setup as _setup
+from .transform import dir_trans, inv_trans
+
+_RESOLUTIONS: dict[int, object] = {}
+_NEXT = [0]
+
+
+def _wrap(ptr: int, n: int) -> np.ndarray:
+    buf = (ctypes.c_double * n).from_address(int(ptr))
+    return np.ctypeslib.as_array(buf)
+
+
+def setup(grid: str, nsmax: int) -> int:
+    res = _setup(grid, None if nsmax < 0 else nsmax)
+    h = _NEXT[0]
+    _NEXT[0] += 1
+    _RESOLUTIONS[h] = res
+    return h
+
+
+def _res(handle: int):
+    return _RESOLUTIONS[handle]
+
+
+def inquire(handle: int):
+    res = _res(handle)
+    return (int(res.nspec2), int(res.grid.ngptot), int(res.ndgl),
+            int(res.grid.ndlon), int(res.nsmax))
+
+
+def fill_nloen(handle: int, ptr: int):
+    res = _res(handle)
+    buf = (ctypes.c_int * res.ndgl).from_address(int(ptr))
+    arr = np.ctypeslib.as_array(buf)
+    arr[:] = np.asarray(res.grid.nloen, dtype=np.int32)
+    return 0
+
+
+def invtrans_scalar(handle: int, nfld: int, spec_ptr: int, gp_ptr: int):
+    res = _res(handle)
+    spec = _wrap(spec_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    out = np.asarray(
+        inv_trans(res, spscalar=jnp.asarray(spec), dtype=_JDT)
+    )
+    gp = _wrap(gp_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    for f in range(nfld):
+        gp[f] = _pack_reduced(out[f], res.grid.nloen)
+    return 0
+
+
+def dirtrans_scalar(handle: int, nfld: int, gp_ptr: int, spec_ptr: int):
+    res = _res(handle)
+    gp = _wrap(gp_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    fields = np.stack(
+        [_unpack_reduced(gp[f], res.grid.nloen, res.grid.ndlon)
+         for f in range(nfld)]
+    )
+    _, _, spec = dir_trans(res, scalars=jnp.asarray(fields), dtype=_JDT)
+    _wrap(spec_ptr, nfld * res.nspec2)[:] = np.asarray(spec).ravel()
+    return 0
+
+
+def invtrans_vordiv(handle: int, nfld: int, vor_ptr: int, div_ptr: int,
+                    u_ptr: int, v_ptr: int):
+    res = _res(handle)
+    spvor = _wrap(vor_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    spdiv = _wrap(div_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    out = np.asarray(
+        inv_trans(res, spvor=jnp.asarray(spvor), spdiv=jnp.asarray(spdiv),
+                  dtype=_JDT)
+    )
+    u = _wrap(u_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    v = _wrap(v_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    for f in range(nfld):
+        u[f] = _pack_reduced(out[f], res.grid.nloen)
+        v[f] = _pack_reduced(out[nfld + f], res.grid.nloen)
+    return 0
+
+
+def dirtrans_vordiv(handle: int, nfld: int, u_ptr: int, v_ptr: int,
+                    vor_ptr: int, div_ptr: int):
+    res = _res(handle)
+    u = _wrap(u_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    v = _wrap(v_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    uf = np.stack([_unpack_reduced(u[f], res.grid.nloen, res.grid.ndlon)
+                   for f in range(nfld)])
+    vf = np.stack([_unpack_reduced(v[f], res.grid.nloen, res.grid.ndlon)
+                   for f in range(nfld)])
+    spvor, spdiv, _ = dir_trans(res, u=jnp.asarray(uf), v=jnp.asarray(vf),
+                                dtype=_JDT)
+    _wrap(vor_ptr, nfld * res.nspec2)[:] = np.asarray(spvor).ravel()
+    _wrap(div_ptr, nfld * res.nspec2)[:] = np.asarray(spdiv).ravel()
+    return 0
+
+
+def specnorm(handle: int, nfld: int, spec_ptr: int, norm_ptr: int):
+    res = _res(handle)
+    spec = _wrap(spec_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    _wrap(norm_ptr, nfld)[:] = np.asarray(_specnorm(res, jnp.asarray(spec)))
+    return 0
+
+
+def release(handle: int):
+    _RESOLUTIONS.pop(handle, None)
+    return 0

@@ -1,0 +1,78 @@
+/*
+ * ectrans_tpu C API — the transi-equivalent surface (reference
+ * src/transi/transi.h) for C/C++/Fortran callers of the TPU-native
+ * spectral transform framework.
+ *
+ * The library embeds a Python interpreter and drives the JAX/XLA engine
+ * through ectrans_tpu.capi_bridge; all arrays are double precision,
+ * spectral coefficients in the ecTrans packed (NASM0) layout and
+ * grid-point values flat over the reduced grid, latitude-major (the
+ * trans_invtrans/trans_dirtrans conventions of transi.h:293-491).
+ *
+ * All functions return 0 on success, negative on error
+ * (ECTRANS_TPU_ERR_*).  Not thread-safe (one embedded interpreter).
+ */
+
+#ifndef ECTRANS_TPU_H
+#define ECTRANS_TPU_H
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+#define ECTRANS_TPU_SUCCESS 0
+#define ECTRANS_TPU_ERR_INIT -1
+#define ECTRANS_TPU_ERR_SETUP -2
+#define ECTRANS_TPU_ERR_TRANS -3
+#define ECTRANS_TPU_ERR_HANDLE -4
+
+/* Start the embedded interpreter and import the framework.
+ * (trans_init, transi.h:190) */
+int ectrans_tpu_init(void);
+
+/* Set up one resolution: grid spec string ("O48", "F24", "TCO159", ...)
+ * and triangular truncation (-1 = grid default).  Returns a non-negative
+ * resolution handle, or a negative error.  (trans_setup, transi.h:221) */
+int ectrans_tpu_setup(const char *grid, int nsmax);
+
+/* Inquiry (TRANS_INQ / trans_inquire): fills any non-NULL pointer. */
+int ectrans_tpu_inquire(int handle, int *nspec2, int *ngptot, int *ndgl,
+                        int *ndlon, int *nsmax);
+
+/* Per-latitude longitude counts (ndgl entries). */
+int ectrans_tpu_nloen(int handle, int *nloen);
+
+/* Inverse transform, scalar fields: spec (nfld, nspec2) row-major ->
+ * gp (nfld, ngptot) reduced-grid lat-major.  (trans_invtrans) */
+int ectrans_tpu_invtrans(int handle, int nfld, const double *spec,
+                         double *gp);
+
+/* Direct transform, scalar fields: gp (nfld, ngptot) -> spec (nfld, nspec2).
+ * (trans_dirtrans) */
+int ectrans_tpu_dirtrans(int handle, int nfld, const double *gp,
+                         double *spec);
+
+/* Inverse transform of vorticity/divergence to winds:
+ * spvor/spdiv (nfld, nspec2) -> u, v (nfld, ngptot) each. */
+int ectrans_tpu_invtrans_vordiv(int handle, int nfld, const double *spvor,
+                                const double *spdiv, double *u, double *v);
+
+/* Direct transform of winds to vorticity/divergence. */
+int ectrans_tpu_dirtrans_vordiv(int handle, int nfld, const double *u,
+                                const double *v, double *spvor,
+                                double *spdiv);
+
+/* Spectral norms: spec (nfld, nspec2) -> norms (nfld).  (trans_specnorm) */
+int ectrans_tpu_specnorm(int handle, int nfld, const double *spec,
+                         double *norms);
+
+/* Release one resolution (trans_delete) / shut the interpreter down
+ * (trans_finalize). */
+int ectrans_tpu_release(int handle);
+int ectrans_tpu_finalize(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* ECTRANS_TPU_H */
