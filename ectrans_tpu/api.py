@@ -39,9 +39,10 @@ class SpectralTransform:
         *,
         mesh=None,
         radius: float = EARTH_RADIUS,
+        stretch: float = 1.0,
         dtype=jnp.float32,
     ):
-        self.res: Resolution = setup(grid, nsmax, radius)
+        self.res: Resolution = setup(grid, nsmax, radius, stretch)
         self.dtype = jnp.dtype(dtype)
         self.mesh = mesh
         self._sharded = None
@@ -159,7 +160,7 @@ class SpectralTransform:
             "nmen": res.nmen.copy(),
             "ndglu": res.ndglu.copy(),
             "nasm0": res.nasm0.copy(),
-            "rmu": mu,
+            "rmu": res.mu.copy(),   # stretched latitudes when stretch != 1
             "rgw": w,
             "rlapin": res.rlapin.copy(),
             "latitudes_deg": g.latitudes_deg(),

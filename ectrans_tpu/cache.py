@@ -32,11 +32,13 @@ def _cache_dir() -> pathlib.Path | None:
     return pathlib.Path.home() / ".cache" / "ectrans_tpu" / "legpol"
 
 
-def _cache_key(grid: GridSpec, dtype) -> str:
+def _cache_key(grid: GridSpec, dtype, mu_nh: np.ndarray) -> str:
     h = hashlib.sha1()
     h.update(
         repr((grid.name, grid.nsmax, grid.ndgl, grid.nloen, np.dtype(dtype).name)).encode()
     )
+    # latitude set is part of the key (stretched-sphere setups share a grid)
+    h.update(np.ascontiguousarray(mu_nh).tobytes())
     return f"legpol_{grid.name}_T{grid.nsmax}_{h.hexdigest()[:12]}.npz"
 
 
@@ -50,7 +52,7 @@ def load_parity_cached(
     """
     d = _cache_dir()
     if d is not None:
-        path = d / _cache_key(grid, dtype)
+        path = d / _cache_key(grid, dtype, mu_nh)
         if path.exists():
             try:
                 with np.load(path) as z:
@@ -64,9 +66,9 @@ def load_parity_cached(
         try:
             d.mkdir(parents=True, exist_ok=True)
             # NB: np.savez appends ".npz" when missing — keep it explicit
-            tmp = d / (_cache_key(grid, dtype) + f".tmp{os.getpid()}.npz")
+            tmp = d / (_cache_key(grid, dtype, mu_nh) + f".tmp{os.getpid()}.npz")
             np.savez(tmp, psym=psym, pasym=pasym, kmax=kmax)
-            os.replace(tmp, d / _cache_key(grid, dtype))
+            os.replace(tmp, d / _cache_key(grid, dtype, mu_nh))
         except Exception:
             pass  # cache write failure is non-fatal
     return psym, pasym, kmax

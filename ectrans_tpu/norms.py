@@ -32,6 +32,28 @@ def specnorm(res: Resolution, spec, met=None):
     return jnp.sqrt(jnp.sum(spec * spec * w[None, :].astype(spec.dtype), axis=1))
 
 
+def gpnorm_tl(res: Resolution, grid_pert):
+    """Tangent-linear of the gpnorm average (GPNORM_TRANSTL): the average is
+    linear, so the TL of ave is gpnorm(ave_only) of the perturbation."""
+    ave, _, _ = gpnorm(res, grid_pert, ave_only=True)
+    return ave
+
+
+def gpnorm_ad(res: Resolution, ave_ad):
+    """Adjoint of the gpnorm average (GPNORM_TRANSAD): distribute the
+    cotangent of each field average back over the grid with the area
+    weights."""
+    import jax
+
+    nfld = ave_ad.shape[0]
+    shape = (nfld, res.ndgl, res.grid.ndlon)
+    fwd = lambda g: gpnorm(res, g, ave_only=True)[0]
+    (out,) = jax.linear_transpose(
+        fwd, jax.ShapeDtypeStruct(shape, ave_ad.dtype)
+    )(ave_ad)
+    return out
+
+
 def gpnorm(res: Resolution, grid, ave_only: bool = False):
     """Grid-point norms per field: (ave, min, max).
 

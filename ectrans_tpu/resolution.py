@@ -259,27 +259,42 @@ def _ensure_pytrees():
 
 
 @functools.lru_cache(maxsize=16)
-def setup(grid_or_name: Any, nsmax: int | None = None, radius: float = EARTH_RADIUS) -> Resolution:
+def setup(grid_or_name: Any, nsmax: int | None = None,
+          radius: float = EARTH_RADIUS, stretch: float = 1.0) -> Resolution:
     """Build a Resolution (the SETUP_TRANS equivalent).
 
     ``setup("O48", 47)`` or ``setup("TCO159")`` or ``setup(GridSpec(...))``.
     Heavy host precompute (Gauss nodes, Legendre tables) is cached in-process;
     see ``ectrans_tpu.cache`` for the on-disk legpol cache.
+
+    ``stretch`` is the Schmidt stretching factor (reference PSTRET,
+    ``setup_trans.F90:49``): when != 1 the Legendre polynomials are
+    evaluated at the stretched latitudes mu' = (t + mu)/(1 + t*mu),
+    t = (1 - c^2)/(1 + c^2) (``suleg_mod.F90:272-287``), while the
+    Gaussian quadrature weights stay those of the computational sphere.
     """
     if isinstance(grid_or_name, GridSpec):
         grid = grid_or_name
     else:
         grid = make_grid(grid_or_name, nsmax)
-    return _setup_from_grid(grid, radius)
+    return _setup_from_grid(grid, radius, stretch)
 
 
-def _setup_from_grid(grid: GridSpec, radius: float) -> Resolution:
+def _setup_from_grid(grid: GridSpec, radius: float,
+                     stretch: float = 1.0) -> Resolution:
     nsmax = grid.nsmax
     M = nsmax + 1
     NP = nsmax + 2
     mu, w = grid.gauss()
     nmen = grid.nmen()
     ndglu = grid.ndglu()
+    if abs(stretch - 1.0) > 1e-13:
+        t = (1.0 - stretch**2) / (1.0 + stretch**2)
+        nh = grid.ndgnh
+        mu_s = np.empty_like(mu)
+        mu_s[:nh] = (t + mu[:nh]) / (1.0 + t * mu[:nh])
+        mu_s[nh:] = (t - mu[:nh][::-1]) / (1.0 - t * mu[:nh][::-1])
+        mu = mu_s
     mu_nh = mu[: grid.ndgnh]
 
     from .cache import load_parity_cached

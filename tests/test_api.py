@@ -100,3 +100,30 @@ def test_api_sharded_matches_single():
     # dist/gath helpers round trip
     gd = st8.dist_grid(g1)
     assert np.abs(st8.gath_grid(gd) - g1).max() == 0.0
+
+
+def test_stretched_sphere_setup():
+    """PSTRET equivalent (suleg_mod.F90:272-287): Legendre polynomials are
+    evaluated at the Schmidt-stretched latitudes; stretch=1 is unchanged."""
+    import numpy as np
+    import scipy.special as sp
+    from math import factorial
+
+    import ectrans_tpu as et
+
+    r1 = et.setup("F24", 47)
+    r2 = et.setup("F24", 47, stretch=1.0)
+    assert np.array_equal(r1.mu, r2.mu)  # stretch=1 is a no-op
+    c = 2.4
+    rs = et.setup("F24", 47, stretch=c)
+    t = (1 - c * c) / (1 + c * c)
+    mu0, _ = rs.grid.gauss()
+    expect_nh = (t + mu0[:24]) / (1 + t * mu0[:24])
+    assert np.allclose(rs.mu[:24], expect_nh, atol=1e-14)
+    # P table actually evaluated at stretched latitudes
+    m, n = 2, 5
+    norm = np.sqrt((2 * n + 1) * factorial(n - m) / factorial(n + m))
+    want = sp.lpmv(m, n, expect_nh) * norm
+    k = (n - m) // 2  # n-m odd -> pasym
+    got = np.asarray(rs.pasym[m, :, (n - m) // 2])
+    assert np.abs(got - want).max() < 1e-12

@@ -80,3 +80,19 @@ def test_lam_transform_handle():
     back = lt.inv_trans(spscalar=sp)
     ave, gmin, gmax = lt.gpnorm(back)
     assert np.asarray(gmin) <= np.asarray(ave) <= np.asarray(gmax)
+
+
+def test_gpnorm_tl_ad():
+    """TL/AD of the grid-point average (GPNORM_TRANSTL/AD): adjoint
+    identity <TL(x), y> == <x, AD(y)>."""
+    from ectrans_tpu import norms
+
+    res = et.setup("O48", 47)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, res.ndgl, res.grid.ndlon)))
+    y = jnp.asarray(rng.standard_normal(2))
+    tl = norms.gpnorm_tl(res, x)
+    ad = norms.gpnorm_ad(res, y)
+    lhs = float(jnp.sum(tl * y))
+    rhs = float(jnp.sum(ad * x))
+    assert abs(lhs - rhs) < 1e-12 * max(1.0, abs(lhs))
