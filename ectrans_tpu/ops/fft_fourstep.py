@@ -94,32 +94,52 @@ def _cmatmul(ar, ai, br, bi, spec):
     return rr - ii, ri + ir
 
 
-def fft_ord(re, im):
-    """Forward FFT over the last axis; output in ord_map order."""
-    n = re.shape[-1]
+def fft_ord(re, im, n: int | None = None):
+    """Forward FFT of length n over the last axis; output in ord_map order.
+
+    The inputs may be SHORTER than n (implicitly zero-padded): the first
+    DFT matmul is then pruned to the occupied n1-rows — inside a Bluestein
+    convolution the signal occupies only mmax+1 (synthesis) or nloen
+    (analysis) of the nfft slots, so pruning skips most of step 1.
+    """
+    if n is None:
+        n = re.shape[-1]
     t = _tables(n, str(re.dtype))
     if n <= 256:
+        re = _pad_to(re, n)
+        im = _pad_to(im, n)
         return _cmatmul(re, im, t["f_r"], t["f_i"], "...n,kn->...k")
     n1, n2 = _factor(n)
-    xr = re.reshape(re.shape[:-1] + (n1, n2))
-    xi = im.reshape(im.shape[:-1] + (n1, n2))
-    # DFT over n1 (columns): A[k1, n2]
-    ar, ai = _cmatmul(xr, xi, t["f1_r"], t["f1_i"], "...fn,kf->...kn")
+    in_len = re.shape[-1]
+    f1 = -(-in_len // n2)  # occupied n1-rows
+    re = _pad_to(re, f1 * n2)
+    im = _pad_to(im, f1 * n2)
+    xr = re.reshape(re.shape[:-1] + (f1, n2))
+    xi = im.reshape(im.shape[:-1] + (f1, n2))
+    # DFT over n1 (columns, pruned to the occupied rows): A[k1, n2]
+    ar, ai = _cmatmul(xr, xi, t["f1_r"][:, :f1], t["f1_i"][:, :f1],
+                      "...fn,kf->...kn")
     # twiddle W_N^(k1*n2)
     ar, ai = ar * t["tw_r"] - ai * t["tw_i"], ar * t["tw_i"] + ai * t["tw_r"]
     # DFT over n2: X[k1, k2]
     br, bi = _cmatmul(ar, ai, t["f2_r"], t["f2_i"], "...kn,ln->...kl")
-    return br.reshape(re.shape), bi.reshape(im.shape)
+    shape = re.shape[:-1] + (n,)
+    return br.reshape(shape), bi.reshape(shape)
 
 
-def ifft_from_ord(re, im):
+def ifft_from_ord(re, im, out_len: int | None = None):
     """Inverse FFT consuming ord_map order, emitting natural order, with
     the 1/n normalisation (exact transposed network of fft_ord with
-    conjugated coefficients)."""
+    conjugated coefficients).  With out_len, only the first out_len
+    natural-order outputs are computed (the final DFT matmul is pruned);
+    the result's last axis is then ceil(out_len/n2)*n2 >= out_len.
+    """
     n = re.shape[-1]
     t = _tables(n, str(re.dtype))
     if n <= 256:
         orr, oii = _cmatmul(re, im, t["b_r"], t["b_i"], "...n,kn->...k")
+        if out_len is not None:
+            orr, oii = orr[..., :out_len], oii[..., :out_len]
         return orr / n, oii / n
     n1, n2 = _factor(n)
     xr = re.reshape(re.shape[:-1] + (n1, n2))
@@ -128,6 +148,15 @@ def ifft_from_ord(re, im):
     ar, ai = _cmatmul(xr, xi, t["f2b_r"], t["f2b_i"], "...kl,nl->...kn")
     # conj twiddle
     ar, ai = ar * t["tw_r"] + ai * t["tw_i"], ai * t["tw_r"] - ar * t["tw_i"]
-    # conj DFT over k1
-    br, bi = _cmatmul(ar, ai, t["f1b_r"], t["f1b_i"], "...kn,fk->...fn")
-    return br.reshape(re.shape) / n, bi.reshape(im.shape) / n
+    # conj DFT over k1, pruned to the needed output rows
+    fo = n1 if out_len is None else min(n1, -(-out_len // n2))
+    br, bi = _cmatmul(ar, ai, t["f1b_r"][:fo], t["f1b_i"][:fo],
+                      "...kn,fk->...fn")
+    shape = re.shape[:-1] + (fo * n2,)
+    return br.reshape(shape) / n, bi.reshape(shape) / n
+
+
+def _pad_to(x, n):
+    if x.shape[-1] == n:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])

@@ -263,9 +263,9 @@ def synthesis_uniform(re, im, ut: UniformDftTables):
     from . import fft_fourstep
 
     ar, ai = _cmul(re, im, ut.syn_in_r, ut.syn_in_i)
-    fr, fi = fft_fourstep.fft_ord(_pad_last(ar, ut.nfft), _pad_last(ai, ut.nfft))
+    fr, fi = fft_fourstep.fft_ord(ar, ai, ut.nfft)
     cr, ci = _cmul(fr, fi, ut.syn_bh_r, ut.syn_bh_i)
-    vr, vi = fft_fourstep.ifft_from_ord(cr, ci)
+    vr, vi = fft_fourstep.ifft_from_ord(cr, ci, ut.L)
     vr, vi = vr[..., : ut.L], vi[..., : ut.L]
     return vr * ut.syn_out_r - vi * ut.syn_out_i
 
@@ -276,9 +276,9 @@ def analysis_uniform(x, ut: UniformDftTables):
 
     ar = x * ut.ana_in_r
     ai = x * ut.ana_in_i
-    fr, fi = fft_fourstep.fft_ord(_pad_last(ar, ut.nfft), _pad_last(ai, ut.nfft))
+    fr, fi = fft_fourstep.fft_ord(ar, ai, ut.nfft)
     cr, ci = _cmul(fr, fi, ut.ana_bh_r, ut.ana_bh_i)
-    vr, vi = fft_fourstep.ifft_from_ord(cr, ci)
+    vr, vi = fft_fourstep.ifft_from_ord(cr, ci, ut.kmax + 1)
     vr, vi = vr[..., : ut.kmax + 1], vi[..., : ut.kmax + 1]
     return _cmul(vr, vi, ut.ana_out_r, ut.ana_out_i)
 
@@ -293,11 +293,13 @@ def _field_chunks(nrows: int, nfft: int, itemsize: int) -> int:
     return max(1, _CHUNK_BYTES // max(1, per_field))
 
 
-def _chunked_conv(ar, ai, bhr, bhi):
-    """Bluestein convolution core: pad to nfft, forward four-step FFT (ORD),
-    pointwise multiply with the pre-permuted chirp FFT, inverse.  Chunked
-    over the leading (field) axis so the TCO1279-scale working set never
-    exceeds HBM.  NB: an unrolled Python loop, NOT lax.map — the while-loop
+def _chunked_conv(ar, ai, bhr, bhi, out_len=None):
+    """Bluestein convolution core: forward four-step FFT of length nfft
+    (input implicitly zero-padded; the first DFT matmul is pruned to the
+    occupied rows), pointwise multiply with the pre-permuted chirp FFT,
+    pruned inverse (only out_len outputs computed).  Chunked over the
+    leading (field) axis so the TCO1279-scale working set never exceeds
+    HBM.  NB: an unrolled Python loop, NOT lax.map — the while-loop
     lowering miscompiles on the axon TPU backend (wrong results; the same
     map is correct on CPU)."""
     import jax.numpy as jnp
@@ -307,9 +309,9 @@ def _chunked_conv(ar, ai, bhr, bhi):
     nfft = bhr.shape[-1]
 
     def body(car, cai):
-        fr, fi = fft_fourstep.fft_ord(_pad_last(car, nfft), _pad_last(cai, nfft))
+        fr, fi = fft_fourstep.fft_ord(car, cai, nfft)
         cr, ci = _cmul(fr, fi, bhr, bhi)
-        return fft_fourstep.ifft_from_ord(cr, ci)
+        return fft_fourstep.ifft_from_ord(cr, ci, out_len)
 
     F = ar.shape[0]
     chunk = _field_chunks(int(np.prod(ar.shape[1:-1])), nfft, ar.dtype.itemsize)
@@ -332,7 +334,8 @@ def synthesis(fourier, bt: BluesteinTables):
     im = fourier[:, 1].swapaxes(1, 2)
     M = re.shape[-1]
     ar, ai = _cmul(re, im, bt.syn_in_r[None, :, :M], bt.syn_in_i[None, :, :M])
-    vr, vi = _chunked_conv(ar, ai, bt.syn_bh_r[None], bt.syn_bh_i[None])
+    vr, vi = _chunked_conv(ar, ai, bt.syn_bh_r[None], bt.syn_bh_i[None],
+                           out_len=bt.ndlon)
     vr, vi = vr[..., : bt.ndlon], vi[..., : bt.ndlon]
     out = vr * bt.syn_out_r[None] - vi * bt.syn_out_i[None]  # real part only
     return out.astype(fourier.dtype)
@@ -344,7 +347,8 @@ def analysis(grid, bt: BluesteinTables, M: int):
 
     ar = grid * bt.ana_in_r[None]
     ai = grid * bt.ana_in_i[None]
-    vr, vi = _chunked_conv(ar, ai, bt.ana_bh_r[None], bt.ana_bh_i[None])
+    vr, vi = _chunked_conv(ar, ai, bt.ana_bh_r[None], bt.ana_bh_i[None],
+                           out_len=bt.mmax + 1)
     vr, vi = vr[..., : bt.mmax + 1], vi[..., : bt.mmax + 1]
     outr, outi = _cmul(vr, vi, bt.ana_out_r[None], bt.ana_out_i[None])
     out = jnp.stack([outr[..., :M], outi[..., :M]], axis=1)  # (nfld, 2, ndgl, M)

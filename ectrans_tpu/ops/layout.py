@@ -31,9 +31,47 @@ def dense_to_packed(dense, tables):
 def dense_to_parity(dense, tables):
     """(nfld, 2, M, NP) -> sym, asym each (nfld, 2, M, K).
 
-    Gathers n = m+2k (sym) / n = m+1+2k (asym); index NP selects an appended
-    zero row (padding).
+    sym[..., m, k] = dense[..., m, m+2k]; asym at n = m+1+2k.  Implemented
+    as a pure pad + reshape: appending one slot per m-row turns the
+    diagonal realignment D2[m, j] = dense[m, m+j] into the identity on the
+    flat buffer (index algebra m*(W+1) + j = m*W + (m+j)), so no gather is
+    needed — gathers/scatters cost ~60 ms per 10-field round trip on TPU,
+    this costs two relayouts.  Entries beyond the m-th diagonal's end are
+    neighbouring rows' data; they are harmless downstream because the
+    Legendre tables are zero there and every n+-1 recurrence coefficient
+    vanishes at the parity boundary (eps(m, m) = 0).
     """
+    f, c, M, W = dense.shape
+    K = tables.idx_sym.shape[-1]
+    flat = dense.reshape(f, c, M * W)
+    flat = jnp.pad(flat, [(0, 0), (0, 0), (0, M)])
+    d2 = flat.reshape(f, c, M, W + 1)      # d2[..., m, j] = dense[..., m, m+j]
+    sym = d2[..., 0::2][..., :K]
+    asym = d2[..., 1::2][..., :K]
+    return sym, asym
+
+
+def parity_to_dense(sym, asym, tables, NP):
+    """Inverse of dense_to_parity on the valid (n >= m) region; entries at
+    n < m are neighbouring rows' coefficients (not zeros) — every consumer
+    either masks with the (n >= m) validity table or gathers valid
+    positions only."""
+    f, c, M, K = sym.shape
+    W = NP
+    # interleave parities along j, pad/crop the j axis to W+1
+    d2 = jnp.stack([sym, asym], axis=-1).reshape(f, c, M, 2 * K)
+    if 2 * K < W + 1:
+        d2 = jnp.pad(d2, [(0, 0)] * 3 + [(0, W + 1 - 2 * K)])
+    else:
+        d2 = d2[..., : W + 1]
+    flat = d2.reshape(f, c, M * (W + 1))
+    return flat[..., : M * W].reshape(f, c, M, W)
+
+
+def dense_to_parity_gather(dense, tables):
+    """Gather-based parity split for a PERMUTED m axis (the sharded path,
+    where row index != m so the diagonal-realignment trick does not apply).
+    Index NP selects an appended zero row (padding)."""
     M = dense.shape[2]
     pad = jnp.concatenate(
         [dense, jnp.zeros(dense.shape[:3] + (1,), dtype=dense.dtype)], axis=-1
@@ -44,9 +82,9 @@ def dense_to_parity(dense, tables):
     return sym, asym
 
 
-def parity_to_dense(sym, asym, tables, NP):
-    """Scatter parity coefficients back to the dense layout (exact inverse of
-    dense_to_parity on the valid region; padding rows land in a dropped slot)."""
+def parity_to_dense_scatter(sym, asym, tables, NP):
+    """Scatter-based exact inverse for a permuted m axis (sharded path);
+    produces exact zeros outside the valid region."""
     nfld, two, M, K = sym.shape
     dense = jnp.zeros((nfld, two, M, NP + 1), dtype=sym.dtype)
     marange = jnp.arange(M)[:, None]

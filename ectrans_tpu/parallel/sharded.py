@@ -155,7 +155,7 @@ class ShardedTransform:
         def lt(dense):
             from ..ops import layout
 
-            sym, asym = layout.dense_to_parity(dense, idx_tab)
+            sym, asym = layout.dense_to_parity_gather(dense, idx_tab)
             return legendre_matmul.legendre_inv(sym, asym, lt_tab)
 
         groups1 = []  # pre-TRMTOL groups: vor? div? u v sc nsd
@@ -269,7 +269,7 @@ class ShardedTransform:
         from ..ops import layout
 
         idx_tab = SimpleNamespace(idx_sym=t["idx_sym_w"], idx_asym=t["idx_asym_w"])
-        dense = layout.parity_to_dense(sym, asym, idx_tab, res.NP)
+        dense = layout.parity_to_dense_scatter(sym, asym, idx_tab, res.NP)
 
         zero = jnp.zeros((0, res.nspec2), dense.dtype)
         spvor = spdiv = spsc = zero
