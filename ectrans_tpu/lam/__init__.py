@@ -8,6 +8,7 @@ elliptic-truncation spectral space of ELLIPS (``ellips.F90``).
 """
 
 from .api import LamTransform
+from .sharded import ShardedLamTransform
 from .geometry import LamGrid, ellips, make_lam_grid
 from .resolution import LamResolution, setup_lam
 from .transform import LamInvFlags, dir_trans_lam, inv_trans_lam
@@ -19,6 +20,7 @@ __all__ = [
     "LamGrid",
     "LamInvFlags",
     "LamTransform",
+    "ShardedLamTransform",
     "LamResolution",
     "biperiodicize",
     "dir_trans_lam",

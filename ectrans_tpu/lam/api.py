@@ -23,24 +23,35 @@ class LamTransform:
     """
 
     def __init__(self, nx: int | None = None, ny: int | None = None,
-                 *, grid: LamGrid | None = None, dtype=jnp.float32, **kw):
+                 *, grid: LamGrid | None = None, mesh=None,
+                 dtype=jnp.float32, **kw):
         if grid is None:
             grid = make_lam_grid(nx, ny, **kw)
         self.grid = grid
         self.res: LamResolution = setup_lam(grid)
         self.dtype = jnp.dtype(dtype)
+        self._sharded = None
+        if mesh is not None:
+            from .sharded import ShardedLamTransform
+
+            self._sharded = ShardedLamTransform(self.res, mesh, dtype=self.dtype)
 
     # -- transforms -------------------------------------------------------
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
                   meanu=None, meanv=None, flags: LamInvFlags = LamInvFlags(),
                   **kw):
         flags = LamInvFlags(**kw) if kw else flags
+        if self._sharded is not None:
+            return self._sharded.inv_trans(spvor, spdiv, spscalar,
+                                           meanu, meanv, flags=flags)
         return transform.inv_trans_lam(
             self.res, spvor, spdiv, spscalar, meanu, meanv,
             flags=flags, dtype=self.dtype,
         )
 
     def dir_trans(self, u=None, v=None, scalars=None):
+        if self._sharded is not None:
+            return self._sharded.dir_trans(u, v, scalars)
         return transform.dir_trans_lam(self.res, u, v, scalars,
                                        dtype=self.dtype)
 
