@@ -34,10 +34,24 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _factor(n: int) -> tuple[int, int]:
-    """Split pow2 n = N1 * N2 with N1 <= N2, both MXU-friendly."""
-    lg = n.bit_length() - 1
-    n1 = 1 << (lg // 2)
+    """Split n = N1 * N2 with the lane factor N2 = 128 when possible (TPU
+    tiles pad the last dim to 128 lanes, so any other N2 wastes physical
+    memory); otherwise as square as possible."""
+    if n % 128 == 0 and 2 <= n // 128 <= 512:
+        return n // 128, 128
+    n1 = int(np.sqrt(n))
+    while n % n1:
+        n1 -= 1
     return n1, n // n1
+
+
+def good_size(target: int) -> int:
+    """Smallest transform length >= target of the form k*128 (lane-aligned
+    four-step factors; a pow-2 length would pad the Bluestein convolution
+    by up to 2x)."""
+    if target <= 256:
+        return target
+    return -(-target // 128) * 128
 
 
 def ord_map(n: int) -> np.ndarray:

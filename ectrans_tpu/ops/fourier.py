@@ -81,10 +81,12 @@ def host_bluestein_tables(nloen: tuple, nmen: tuple, nsmax: int) -> dict:
     Array values all have the latitude axis first (ndgl, ...), so a
     distributed transform can shard/pad them along latitude blocks.
     """
+    from . import fft_fourstep
+
     ndgl = len(nloen)
     mmax = nsmax
     ndlon = max(nloen)
-    nfft = _next_pow2(ndlon + mmax + 1)
+    nfft = fft_fourstep.good_size(ndlon + mmax + 1)
 
     syn_in = np.zeros((ndgl, mmax + 1), dtype=np.complex128)
     syn_bh = np.zeros((ndgl, nfft), dtype=np.complex128)
@@ -229,7 +231,7 @@ def uniform_dft_tables(L: int, kmax: int, dtype_str: str = "float32") -> Uniform
     from . import fft_fourstep
 
     dt = np.dtype(dtype_str)
-    nfft = _next_pow2(L + kmax + 1)
+    nfft = fft_fourstep.good_size(L + kmax + 1)
     om = fft_fourstep.ord_map(nfft)
     ks = np.arange(kmax + 1)
     js = np.arange(L)
