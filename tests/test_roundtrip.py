@@ -105,3 +105,24 @@ def test_fp32_roundtrip_tolerance():
 def test_next_pow2():
     for n, expect in [(1, 1), (5, 8), (8, 8), (97, 128), (6417, 8192)]:
         assert four_ops._next_pow2(n) == expect
+
+
+def test_vorgp_divgp_flags():
+    """LDVORGP/LDDIVGP: grid-point vor/div outputs equal the scalar
+    transform of the same spectral fields, and the PGP ordering holds."""
+    import ectrans_tpu as et
+    from ectrans_tpu.transform import InvFlags
+
+    res = et.setup("F24", 47)
+    spec = random_packed(res, 1, seed=5)
+    vor = jnp.asarray(spec)
+    div = jnp.asarray(random_packed(res, 1, seed=6))
+    out = et.inv_trans(
+        res, spvor=vor, spdiv=div,
+        flags=InvFlags(vorgp=True, divgp=True), dtype=jnp.float64,
+    )
+    assert out.shape[0] == 4  # vor, div, u, v
+    ref_vor = et.inv_trans(res, spscalar=vor, dtype=jnp.float64)
+    ref_div = et.inv_trans(res, spscalar=div, dtype=jnp.float64)
+    assert np.abs(np.asarray(out[0]) - np.asarray(ref_vor[0])).max() < 1e-12
+    assert np.abs(np.asarray(out[1]) - np.asarray(ref_div[0])).max() < 1e-12
