@@ -78,6 +78,27 @@ class LamTransform:
     def gpnorm(self, grid, ave_only: bool = False):
         return norms.egpnorm(self.res, grid, ave_only)
 
+    def dist_grid(self, grid_global):
+        """Place a global (nfld, ny, nx) grid with the distributed layout
+        (EDIST_GRID equivalent; identity without a mesh)."""
+        import jax
+        import jax.numpy as _jnp
+
+        if self._sharded is None:
+            return _jnp.asarray(grid_global)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            grid_global,
+            NamedSharding(self._sharded.mesh, P(None, ("w", "v"), None)),
+        )
+
+    def gath_grid(self, grid):
+        """Gather a (possibly sharded) grid to host (EGATH_GRID)."""
+        import jax
+
+        return np.asarray(jax.device_get(grid))
+
     def inquire(self) -> dict:
         """ETRANS_INQ equivalent."""
         g = self.grid

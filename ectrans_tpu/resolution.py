@@ -248,6 +248,44 @@ def _build_parity_maps(nsmax: int, NP: int, kmax: int):
     return idx_sym, idx_asym
 
 
+_CURRENT: list = []  # most-recently set up Resolution (GET_CURRENT parity)
+
+
+def get_current() -> "Resolution | None":
+    """Most recently set-up Resolution (reference GET_CURRENT,
+    ``get_current.F90``); None before any setup."""
+    return _CURRENT[-1] if _CURRENT else None
+
+
+def ini_spec_dist(nsmax: int, nprtrw: int) -> dict:
+    """Spectral wave distribution without a full setup (reference
+    INI_SPEC_DIST, ``ini_spec_dist.F90`` -> SUWAVEDI): boustrophedon
+    assignment of zonal wavenumbers to nprtrw wave sets.
+
+    Returns dict with ``myms`` (tuple of m-lists per set), ``numpp``
+    (wavenumber count per set), ``nspec2`` (real-coefficient count per
+    set), ``nasm0`` (global packed offsets), ``nspec2_g``.
+    """
+    from .parallel.distribution import pingpong_blocks
+
+    M = nsmax + 1
+    blocks = pingpong_blocks(M, nprtrw)
+    nasm0 = np.zeros(M, dtype=np.int64)
+    off = 0
+    for m in range(M):
+        nasm0[m] = off
+        off += 2 * (nsmax - m + 1)
+    return {
+        "myms": tuple(tuple(b) for b in blocks),
+        "numpp": tuple(len(b) for b in blocks),
+        "nspec2": tuple(
+            int(sum(2 * (nsmax - m + 1) for m in b)) for b in blocks
+        ),
+        "nasm0": nasm0,
+        "nspec2_g": int(off),
+    }
+
+
 _PYTREES_REGISTERED = False
 
 
@@ -258,7 +296,6 @@ def _ensure_pytrees():
         _PYTREES_REGISTERED = True
 
 
-@functools.lru_cache(maxsize=16)
 def setup(grid_or_name: Any, nsmax: int | None = None,
           radius: float = EARTH_RADIUS, stretch: float = 1.0) -> Resolution:
     """Build a Resolution (the SETUP_TRANS equivalent).
@@ -277,6 +314,15 @@ def setup(grid_or_name: Any, nsmax: int | None = None,
         grid = grid_or_name
     else:
         grid = make_grid(grid_or_name, nsmax)
+    res = _setup_cached(grid, radius, stretch)
+    if not _CURRENT or _CURRENT[-1] is not res:
+        _CURRENT.append(res)
+        del _CURRENT[:-4]  # keep a short history only
+    return res
+
+
+@functools.lru_cache(maxsize=16)
+def _setup_cached(grid: GridSpec, radius: float, stretch: float) -> Resolution:
     return _setup_from_grid(grid, radius, stretch)
 
 

@@ -127,3 +127,17 @@ def test_stretched_sphere_setup():
     k = (n - m) // 2  # n-m odd -> pasym
     got = np.asarray(rs.pasym[m, :, (n - m) // 2])
     assert np.abs(got - want).max() < 1e-12
+
+
+def test_get_current_and_ini_spec_dist():
+    import ectrans_tpu as et
+    from ectrans_tpu.resolution import get_current, ini_spec_dist
+
+    res = et.setup("F24", 47)
+    assert get_current() is res
+    d = ini_spec_dist(47, 3)
+    assert sum(d["numpp"]) == 48
+    assert sum(d["nspec2"]) == d["nspec2_g"] == res.nspec2
+    # ping-pong balance: coefficient counts within one m-row of each other
+    assert max(d["nspec2"]) - min(d["nspec2"]) <= 2 * 48
+    np.testing.assert_array_equal(d["nasm0"], res.nasm0)
