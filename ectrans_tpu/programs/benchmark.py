@@ -52,6 +52,9 @@ def parse_args(argv=None):
                    help="distributed mesh, e.g. 4x2 (default: single device)")
     p.add_argument("--meminfo", action="store_true",
                    help="print device memory stats")
+    p.add_argument("--dump-checksums", default=None, metavar="FILE",
+                   help="write per-field output checksums (reference "
+                        "--dump-checksums; decomposition invariance)")
     return p.parse_args(argv)
 
 
@@ -159,6 +162,15 @@ def main(argv=None):
                       f"peak {ms.get('peak_bytes_in_use', 0)/2**20:.0f} MiB")
         except Exception as e:  # axon/CPU may not expose memory_stats
             print(f"meminfo unavailable: {e}")
+
+    if args.dump_checksums:
+        from ectrans_tpu.utils import field_checksum
+
+        with open(args.dump_checksums, "w") as fh:
+            out = np.asarray(ss, dtype=np.float64)
+            nn = np.asarray(norms.specnorm(res, jnp.asarray(out)))
+            for f in range(out.shape[0]):
+                fh.write(f"sc{f} {field_checksum(out[f])} {nn[f]:.14e}\n")
 
     if args.check:
         norm1 = np.asarray(norms.specnorm(res, ss))
