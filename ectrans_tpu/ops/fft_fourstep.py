@@ -100,12 +100,14 @@ def _tables(n: int, dtype_str: str):
 
 
 def _cmatmul(ar, ai, br, bi, spec):
-    """Complex einsum: (a_r + i a_i) contracted with (b_r + i b_i)."""
-    rr = jnp.einsum(spec, ar, br, precision=_PREC)
-    ii = jnp.einsum(spec, ai, bi, precision=_PREC)
-    ri = jnp.einsum(spec, ar, bi, precision=_PREC)
-    ir = jnp.einsum(spec, ai, br, precision=_PREC)
-    return rr - ii, ri + ir
+    """Complex einsum via Karatsuba: 3 real contractions instead of 4
+    (the matmuls are memory-bound multi-pass fp32 on the MXU, so pass
+    count is the cost): m1 = a_r b_r, m2 = a_i b_i, m3 = (a_r+a_i)(b_r+b_i);
+    re = m1 - m2, im = m3 - m1 - m2."""
+    m1 = jnp.einsum(spec, ar, br, precision=_PREC)
+    m2 = jnp.einsum(spec, ai, bi, precision=_PREC)
+    m3 = jnp.einsum(spec, ar + ai, br + bi, precision=_PREC)
+    return m1 - m2, m3 - m1 - m2
 
 
 def fft_ord(re, im, n: int | None = None):
