@@ -130,7 +130,12 @@ class Resolution:
         _ensure_pytrees()
         f = lambda x: jnp.asarray(x, dtype=dtype)
         i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        nn = np.arange(self.NP)[None, :]
+        mm = np.arange(self.M)[:, None]
+        dense_valid = ((nn >= mm) & (nn <= self.nsmax)).astype(np.float64)
         return DeviceTables(
+            nasm0=i(self.nasm0),
+            dense_valid=f(dense_valid),
             w=f(self.w),
             eps=f(self.eps),
             rlapin=f(self.rlapin),
@@ -195,6 +200,8 @@ class DeviceTables:
     ``GroupedLegendre`` (grouped, memory-tight); DeviceTables holds the small
     per-resolution coefficient/index tables."""
 
+    nasm0: Any
+    dense_valid: Any   # (M, NP) 1.0 where m <= n <= nsmax
     w: Any
     eps: Any
     rlapin: Any
