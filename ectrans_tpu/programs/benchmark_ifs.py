@@ -30,6 +30,11 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
     p.add_argument("--mesh", default=None, metavar="WxV")
+    p.add_argument("--npromatr", type=int, default=8, metavar="NLEV",
+                   help="levels per transform packet (the reference's "
+                        "NPROMATR field-packet loop, inv_trans_ctl_mod."
+                        "F90:143-276: bounds the padded grid-space working "
+                        "set; 0 = single packet)")
     return p.parse_args(argv)
 
 
@@ -82,17 +87,43 @@ def main(argv=None):
             return st.dir_trans(u=u, v=v, scalars=sc)
         return et.dir_trans(res, u=u, v=v, scalars=sc, dtype=dtype)
 
+    pk = args.npromatr if args.npromatr > 0 else nlev
     ts = []
     for it in range(args.niter + 1):
         t0 = time.perf_counter()
-        g = inv(sv, sd, ss)
-        u, v = g[:nlev], g[nlev : 2 * nlev]
-        sc = g[2 * nlev : 2 * nlev + nsc]
-        sv2, sd2, ss2 = dirt(u, v, sc)
-        jax.block_until_ready(ss2)
+        # packet loop over levels (NPROMATR): one inv+dir round trip per
+        # packet keeps the padded grid-space working set bounded
+        sv2, sd2, ss2 = [], [], []
+        for lo in range(0, nlev, pk):
+            hi = min(nlev, lo + pk)
+            m = hi - lo
+            # scalars for this packet: T and q levels [lo:hi] (+ sp in the
+            # first packet)
+            sc_idx = list(range(lo, hi)) + list(range(nlev + lo, nlev + hi))
+            if lo == 0:
+                sc_idx.append(2 * nlev)
+            ssp = ss[np.asarray(sc_idx)]
+            g = inv(sv[lo:hi], sd[lo:hi], ssp)
+            u, v = g[:m], g[m : 2 * m]
+            sc = g[2 * m : 2 * m + len(sc_idx)]
+            pv, pd, psc = dirt(u, v, sc)
+            sv2.append(pv)
+            sd2.append(pd)
+            ss2.append(psc)
+        sv = jnp.concatenate(sv2, axis=0)
+        sd = jnp.concatenate(sd2, axis=0)
+        # reassemble scalar ordering: T blocks, q blocks, sp
+        tpar, qpar, sp_f = [], [], None
+        for blk, lo in zip(ss2, range(0, nlev, pk)):
+            m = min(nlev, lo + pk) - lo
+            tpar.append(blk[:m])
+            qpar.append(blk[m : 2 * m])
+            if lo == 0:
+                sp_f = blk[2 * m :]
+        ss = jnp.concatenate(tpar + qpar + [sp_f], axis=0)
+        jax.block_until_ready(ss)
         if it > 0:
             ts.append(time.perf_counter() - t0)
-        sv, sd, ss = sv2, sd2, ss2
     a = np.asarray(ts)
     print(f"roundtrip avg {a.mean()*1e3:.2f} ms  min {a.min()*1e3:.2f}  "
           f"max {a.max()*1e3:.2f}  med {np.median(a)*1e3:.2f}")
