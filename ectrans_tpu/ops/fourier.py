@@ -2,13 +2,13 @@
 
 Replaces the reference's FFT machinery (FTINV/FTDIR + FFTW plan cache,
 ``ftinv_mod.F90``, ``tpm_fftw.F90``; GPU batched variant ``hicfft.cuda.cu``)
-with a **batched Bluestein chirp-z transform built on a complex-free
-power-of-two FFT** (``ops.realfft``):
+with a **batched Bluestein chirp-z transform built on the four-step
+MXU-matmul FFT** (``ops.fft_fourstep``):
 
 * The TPU backend supports neither complex dtypes nor the XLA FFT op, so all
   arithmetic is on (re, im) float array pairs.
-* Every latitude's arbitrary-length DFT becomes one pair of fixed
-  power-of-two FFTs shared by ALL latitudes — the whole (field, lat) batch is
+* Every latitude's arbitrary-length DFT becomes one lane-aligned four-step
+  FFT length shared by ALL latitudes — the whole (field, lat) batch is
   transformed in one uniform call instead of one FFT plan per distinct NLOEN
   (the reference's per-loen plan cache, ``hicfft.cuda.cu:136-160``).  Reduced
   and full Gaussian grids take the same path.

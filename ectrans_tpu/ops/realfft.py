@@ -1,5 +1,9 @@
 """Power-of-two FFT in pure real arithmetic (separate re/im arrays).
 
+NOTE: the production Fourier layer uses ``ops.fft_fourstep`` (the four-step
+MXU-matmul FFT); this radix-2 formulation is retained as an independent
+numerical cross-check.
+
 The TPU backend used here exposes **no complex dtype and no XLA FFT op**
 (complex64 upload and ``jnp.fft.*`` both fail with UNIMPLEMENTED), so the
 Fourier layer cannot lean on ``jnp.fft`` the way the reference leans on

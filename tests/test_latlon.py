@@ -67,3 +67,23 @@ def test_latlon_matches_gaussian_at_equator_symmetry():
     out = np.asarray(inv_trans_latlon(res, ll, spscalar=jnp.asarray(spec),
                                       dtype=jnp.float64))[0]
     assert np.abs(out - out[:, :1]).max() < 1e-13
+
+
+def test_latlon_adjoint_identity():
+    """inv_trans_latlon is linear: <F x, y> == <x, F^T y> via vjp."""
+    import jax
+
+    res = et.setup("F24", 47)
+    ll = LatLonGrid(nlat=19, nlon=36)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, res.nspec2))
+
+    def fwd(s):
+        return inv_trans_latlon(res, ll, spscalar=s, dtype=jnp.float64)
+
+    fx, vjp = jax.vjp(fwd, jnp.asarray(x))
+    y = rng.standard_normal(fx.shape)
+    (xt,) = vjp(jnp.asarray(y))
+    lhs = float(jnp.sum(fx * y))
+    rhs = float(jnp.sum(xt * x))
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
