@@ -264,6 +264,21 @@ def get_current() -> "Resolution | None":
     return _CURRENT[-1] if _CURRENT else None
 
 
+def trans_end() -> None:
+    """Release every cached resolution and its device tables (reference
+    TRANS_END, ``trans_end.F90``).  Live Resolution objects held by the
+    caller keep working; this only drops the framework-held caches."""
+    _CURRENT.clear()
+    _setup_cached.cache_clear()
+    from .ops import fourier
+
+    fourier.build_bluestein_tables.cache_clear()
+    fourier.uniform_dft_tables.cache_clear()
+    from . import transform as _t
+
+    _t._coeff_tables.cache_clear()
+
+
 def ini_spec_dist(nsmax: int, nprtrw: int) -> dict:
     """Spectral wave distribution without a full setup (reference
     INI_SPEC_DIST, ``ini_spec_dist.F90`` -> SUWAVEDI): boustrophedon

@@ -141,3 +141,16 @@ def test_get_current_and_ini_spec_dist():
     # ping-pong balance: coefficient counts within one m-row of each other
     assert max(d["nspec2"]) - min(d["nspec2"]) <= 2 * 48
     np.testing.assert_array_equal(d["nasm0"], res.nasm0)
+
+
+def test_trans_end():
+    import ectrans_tpu as et
+    from ectrans_tpu.resolution import get_current, trans_end
+
+    res = et.setup("F24", 47)
+    assert get_current() is not None
+    trans_end()
+    assert get_current() is None
+    # setup after trans_end works (caches rebuilt)
+    res2 = et.setup("F24", 47)
+    assert res2.nspec2 == res.nspec2
