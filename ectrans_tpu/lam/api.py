@@ -3,8 +3,6 @@ framework (reference ``src/etrans/cpu/external``)."""
 
 from __future__ import annotations
 
-from typing import Any
-
 import numpy as np
 
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ Data placement per phase (per device of the w x v mesh):
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from types import SimpleNamespace
 

@@ -26,7 +26,7 @@ from typing import Any
 import numpy as np
 
 from .grids import GridSpec, make_grid
-from .legendre import compute_legendre_table, eps_table, split_parity
+from .legendre import eps_table
 
 EARTH_RADIUS = 6371229.0  # metres; reference default RA (setup_trans0.F90)
 
