@@ -42,6 +42,23 @@ def pingpong_blocks(M: int, w: int) -> list[list[int]]:
     return blocks
 
 
+@dataclasses.dataclass(frozen=True)
+class GroupMeta:
+    """One m-group of the distributed grouped-Legendre layout.
+
+    Every shard owns ``Lg`` m's of this group (round-robin within the
+    contiguous range [m0, m1) — the load-balanced refinement of SUWAVEDI's
+    ping-pong that additionally keeps per-shard table shapes identical, so
+    the memory-tight grouped Legendre tensors work under shard_map)."""
+
+    m0: int
+    m1: int
+    Lg: int     # local m count per shard (group padded to Lg * w)
+    i0: int     # first active NH latitude (ndgnh - ndglu(m0))
+    kg: int     # parity coefficient extent
+    off: int    # local-axis offset of this group within a shard's m-block
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class Distribution:
     """Host-side distributed layout for one (Resolution, w, v) combination."""
@@ -55,6 +72,7 @@ class Distribution:
     perm: np.ndarray        # (M_pad,) permuted m values; res.M marks padding
     pos_of_m: np.ndarray    # (M,) position of natural m in the permuted axis
     pm_perm_pos: np.ndarray  # (nspec2,) permuted-axis position per packed idx
+    groups: tuple           # tuple[GroupMeta]
 
     @property
     def ML(self) -> int:
@@ -67,12 +85,43 @@ class Distribution:
 
 @functools.lru_cache(maxsize=8)
 def build_distribution(res: Resolution, w: int, v: int) -> Distribution:
+    """Grouped round-robin wave distribution: contiguous m-groups (the same
+    boundaries as the single-device grouped Legendre tables), each dealt
+    round-robin to the w shards.  Every shard owns an equal slice of every
+    group — balanced like SUWAVEDI's ping-pong, but with identical per-shard
+    group shapes so the Legendre tensors stay memory-tight."""
     M = res.M
-    blocks = pingpong_blocks(M, w)
-    ML = -(-M // w)
-    perm = np.full(w * ML, M, dtype=np.int64)  # M = padding sentinel
-    for b, ms in enumerate(blocks):
-        perm[b * ML : b * ML + len(ms)] = ms
+    ngroups = max(1, min(16, M // 8))
+    bs = -(-M // ngroups)
+    nmax = res.nsmax + 1
+
+    groups = []
+    off = 0
+    for gi in range(ngroups):
+        m0 = gi * bs
+        m1 = min(M, m0 + bs)
+        if m0 >= M:
+            break
+        Lg = -(-(m1 - m0) // w)
+        groups.append(GroupMeta(
+            m0=m0, m1=m1, Lg=Lg,
+            i0=res.ndgnh - int(res.ndglu[m0]),
+            kg=(nmax - m0) // 2 + 1,
+            off=off,
+        ))
+        off += Lg
+    ML = off
+    M_pad = ML * w
+
+    # permuted m-axis: [shard0: g0 slice, g1 slice, ... | shard1: ...]
+    perm = np.full(M_pad, M, dtype=np.int64)  # M = padding sentinel
+    for s in range(w):
+        base = s * ML
+        for g in groups:
+            for j in range(g.Lg):
+                m = g.m0 + j * w + s
+                if m < g.m1:
+                    perm[base + g.off + j] = m
     pos_of_m = np.zeros(M, dtype=np.int64)
     for pos, m in enumerate(perm):
         if m < M:
@@ -83,8 +132,9 @@ def build_distribution(res: Resolution, w: int, v: int) -> Distribution:
     ndgl_pad = -(-res.ndgl // wv) * wv
 
     return Distribution(
-        res=res, w=w, v=v, M_pad=w * ML, ndgl_pad=ndgl_pad,
+        res=res, w=w, v=v, M_pad=M_pad, ndgl_pad=ndgl_pad,
         perm=perm, pos_of_m=pos_of_m, pm_perm_pos=pm_perm_pos,
+        groups=tuple(groups),
     )
 
 
@@ -113,9 +163,6 @@ def host_tables(dist: Distribution) -> dict:
     ct_ns = {k: np.asarray(val) for k, val in _np_tables(spectral_ops.nsder_coeff_tables, res)}
 
     out = {
-        # Legendre tensors (M_pad, ndgnh, K)
-        "psym_w": _permute_m_rows(res.psym, perm),
-        "pasym_w": _permute_m_rows(res.pasym, perm),
         # layout index maps
         "dense_gather_w": _permute_m_rows(
             res.dense_gather.transpose(1, 0, 2), perm, pad_value=res.nspec2
@@ -150,6 +197,23 @@ def host_tables(dist: Distribution) -> dict:
         else:
             out[f"bt_{k}"] = val
     out["racthe_lat_w"] = np.pad(res.racthe, (0, npad))
+
+    # grouped Legendre tensors: per group g, rows (w * Lg, Ig, Kg) with row
+    # s*Lg + j = P[perm[s*ML + off + j]][i0:, :kg] (zero rows for padding) —
+    # sharded over "w" each shard sees the identically-shaped (Lg, Ig, Kg)
+    ML = dist.ML
+    for gi, g in enumerate(dist.groups):
+        ig = res.ndgnh - g.i0
+        ps = np.zeros((dist.w * g.Lg, ig, g.kg))
+        pa = np.zeros((dist.w * g.Lg, ig, g.kg))
+        for s in range(dist.w):
+            for j in range(g.Lg):
+                m = perm[s * ML + g.off + j]
+                if m < M:
+                    ps[s * g.Lg + j] = res.psym[m, g.i0 :, : g.kg]
+                    pa[s * g.Lg + j] = res.pasym[m, g.i0 :, : g.kg]
+        out[f"lg{gi}_psym_w"] = ps
+        out[f"lg{gi}_pasym_w"] = pa
     return out
 
 

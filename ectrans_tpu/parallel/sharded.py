@@ -30,7 +30,6 @@ Data placement per phase (per device of the w x v mesh):
 from __future__ import annotations
 
 import functools
-from types import SimpleNamespace
 
 import numpy as np
 
@@ -40,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..resolution import Resolution
 from ..transform import InvFlags
-from ..ops import legendre_matmul, spectral
+from ..ops import spectral
 from ..ops.fourier import BluesteinTables, synthesis, analysis
 from .distribution import build_distribution, host_tables
 
@@ -144,18 +143,81 @@ class ShardedTransform:
         return {k: t[f"{prefix}_{k}_w"] for k in keys}
 
     # ------------------------------------------------------------------
+    def _lt_inv(self, dense, t):
+        """Grouped inverse Legendre on the shard-local permuted m-block:
+        per-group gather to parity + MXU matmul (memory-tight tables)."""
+        prec = jax.lax.Precision.HIGHEST
+        acc = (jnp.float32 if dense.dtype in (jnp.float32, jnp.bfloat16)
+               else dense.dtype)
+        pad = jnp.concatenate(
+            [dense, jnp.zeros(dense.shape[:3] + (1,), dense.dtype)], axis=-1
+        )
+        parts = []
+        for gi, g in enumerate(self.dist.groups):
+            idx_s = t["idx_sym_w"][g.off : g.off + g.Lg, : g.kg]
+            idx_a = t["idx_asym_w"][g.off : g.off + g.Lg, : g.kg]
+            mar = jnp.arange(g.Lg)[:, None]
+            dblk = pad[:, :, g.off : g.off + g.Lg, :]
+            sym = dblk[:, :, mar, idx_s]
+            asym = dblk[:, :, mar, idx_a]
+            fs = jnp.einsum("mik,fcmk->fcmi", t[f"lg{gi}_psym_w"], sym,
+                            precision=prec, preferred_element_type=acc
+                            ).astype(dense.dtype)
+            fa = jnp.einsum("mik,fcmk->fcmi", t[f"lg{gi}_pasym_w"], asym,
+                            precision=prec, preferred_element_type=acc
+                            ).astype(dense.dtype)
+            north = fs + fa
+            south = (fs - fa)[..., ::-1]
+            zp = [(0, 0)] * 3
+            parts.append(jnp.concatenate(
+                [jnp.pad(north, zp + [(g.i0, 0)]),
+                 jnp.pad(south, zp + [(0, g.i0)])], axis=-1))
+        return jnp.concatenate(parts, axis=2)
+
+    def _lt_dir(self, four, t):
+        """Grouped direct Legendre (quadrature-weighted transpose) on the
+        shard-local m-block; scatters parity back to the dense layout."""
+        prec = jax.lax.Precision.HIGHEST
+        acc = (jnp.float32 if four.dtype in (jnp.float32, jnp.bfloat16)
+               else four.dtype)
+        res = self.res
+        ndgnh = res.grid.ndgnh
+        NP = res.NP
+        north_all = four[..., :ndgnh]
+        south_all = four[..., : ndgnh - 1 : -1]
+        fsym_all = (north_all + south_all) * t["wq"]
+        fasym_all = (north_all - south_all) * t["wq"]
+        # materialise before the matmuls (axon fused reverse-slice matmul
+        # miscompile — see ops/legendre_matmul.py)
+        fsym_all, fasym_all = jax.lax.optimization_barrier(
+            (fsym_all, fasym_all))
+        F, C = four.shape[0], four.shape[1]
+        parts = []
+        for gi, g in enumerate(self.dist.groups):
+            fsym = fsym_all[:, :, g.off : g.off + g.Lg, g.i0 :]
+            fasym = fasym_all[:, :, g.off : g.off + g.Lg, g.i0 :]
+            sym = jnp.einsum("mik,fcmi->fcmk", t[f"lg{gi}_psym_w"], fsym,
+                             precision=prec, preferred_element_type=acc
+                             ).astype(four.dtype)
+            asym = jnp.einsum("mik,fcmi->fcmk", t[f"lg{gi}_pasym_w"], fasym,
+                              precision=prec, preferred_element_type=acc
+                              ).astype(four.dtype)
+            idx_s = t["idx_sym_w"][g.off : g.off + g.Lg, : g.kg]
+            idx_a = t["idx_asym_w"][g.off : g.off + g.Lg, : g.kg]
+            mar = jnp.arange(g.Lg)[:, None]
+            dg = jnp.zeros((F, C, g.Lg, NP + 1), four.dtype)
+            dg = dg.at[:, :, mar, idx_s].add(sym)
+            dg = dg.at[:, :, mar, idx_a].add(asym)
+            parts.append(dg[..., :NP])
+        return jnp.concatenate(parts, axis=2)
+
     def _inv_kernel(self, spvor, spdiv, spsc, t, flags: InvFlags):
         res, dist = self.res, self.dist
         Fuv = spvor.shape[0]
         Fsc = spsc.shape[0]
-        lt_tab = SimpleNamespace(psym=t["psym_w"], pasym=t["pasym_w"], w=t["wq"])
-        idx_tab = SimpleNamespace(idx_sym=t["idx_sym_w"], idx_asym=t["idx_asym_w"])
 
         def lt(dense):
-            from ..ops import layout
-
-            sym, asym = layout.dense_to_parity_gather(dense, idx_tab)
-            return legendre_matmul.legendre_inv(sym, asym, lt_tab)
+            return self._lt_inv(dense, t)
 
         groups1 = []  # pre-TRMTOL groups: vor? div? u v sc nsd
         if Fuv:
@@ -263,12 +325,7 @@ class ShardedTransform:
         four = jax.lax.all_to_all(four, "w", split_axis=2, concat_axis=3, tiled=True)
         four = four[..., : res.ndgl]  # drop latitude padding
 
-        lt_tab = SimpleNamespace(psym=t["psym_w"], pasym=t["pasym_w"], w=t["wq"])
-        sym, asym = legendre_matmul.legendre_dir(four, lt_tab)
-        from ..ops import layout
-
-        idx_tab = SimpleNamespace(idx_sym=t["idx_sym_w"], idx_asym=t["idx_asym_w"])
-        dense = layout.parity_to_dense_scatter(sym, asym, idx_tab, res.NP)
+        dense = self._lt_dir(four, t)
 
         zero = jnp.zeros((0, res.nspec2), dense.dtype)
         spvor = spdiv = spsc = zero
