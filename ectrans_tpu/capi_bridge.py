@@ -127,6 +127,37 @@ def dirtrans_vordiv(handle: int, nfld: int, u_ptr: int, v_ptr: int,
     return 0
 
 
+def invtrans_adj_scalar(handle: int, nfld: int, gp_ptr: int, spec_ptr: int):
+    """Adjoint of the scalar inverse transform (INV_TRANSAD)."""
+    from .adjoint import inv_trans_adj
+
+    res = _res(handle)
+    gp = _wrap(gp_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    grid_ad = np.stack(
+        [_unpack_reduced(gp[f], res.grid.nloen, res.grid.ndlon)
+         for f in range(nfld)]
+    )
+    _, _, spsc_ad = inv_trans_adj(res, jnp.asarray(grid_ad), 0, nfld,
+                                  dtype=_JDT)
+    _wrap(spec_ptr, nfld * res.nspec2)[:] = np.asarray(spsc_ad).ravel()
+    return 0
+
+
+def dirtrans_adj_scalar(handle: int, nfld: int, spec_ptr: int, gp_ptr: int):
+    """Adjoint of the scalar direct transform (DIR_TRANSAD)."""
+    from .adjoint import dir_trans_adj
+
+    res = _res(handle)
+    spec = _wrap(spec_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    _, _, sc_ad = dir_trans_adj(res, spscalar_ad=jnp.asarray(spec),
+                                nfld_sc=nfld, dtype=_JDT)
+    out = np.asarray(sc_ad)
+    gp = _wrap(gp_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    for f in range(nfld):
+        gp[f] = _pack_reduced(out[f], res.grid.nloen)
+    return 0
+
+
 def specnorm(handle: int, nfld: int, spec_ptr: int, norm_ptr: int):
     res = _res(handle)
     spec = _wrap(spec_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)

@@ -62,6 +62,16 @@ int ectrans_tpu_dirtrans_vordiv(int handle, int nfld, const double *u,
                                 const double *v, double *spvor,
                                 double *spdiv);
 
+/* Adjoint of the inverse transform (trans_invtrans_adj): grid cotangent
+ * (nfld, ngptot) -> spectral cotangent (nfld, nspec2), scalar fields. */
+int ectrans_tpu_invtrans_adj(int handle, int nfld, const double *gp_ad,
+                             double *spec_ad);
+
+/* Adjoint of the direct transform (trans_dirtrans_adj): spectral cotangent
+ * -> grid cotangent, scalar fields. */
+int ectrans_tpu_dirtrans_adj(int handle, int nfld, const double *spec_ad,
+                             double *gp_ad);
+
 /* Spectral norms: spec (nfld, nspec2) -> norms (nfld).  (trans_specnorm) */
 int ectrans_tpu_specnorm(int handle, int nfld, const double *spec,
                          double *norms);

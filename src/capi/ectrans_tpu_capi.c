@@ -151,6 +151,16 @@ int ectrans_tpu_dirtrans_vordiv(int handle, int nfld, const double *u,
   return run4("dirtrans_vordiv", handle, nfld, u, v, spvor, spdiv);
 }
 
+int ectrans_tpu_invtrans_adj(int handle, int nfld, const double *gp_ad,
+                             double *spec_ad) {
+  return run2("invtrans_adj_scalar", handle, nfld, gp_ad, spec_ad);
+}
+
+int ectrans_tpu_dirtrans_adj(int handle, int nfld, const double *spec_ad,
+                             double *gp_ad) {
+  return run2("dirtrans_adj_scalar", handle, nfld, spec_ad, gp_ad);
+}
+
 int ectrans_tpu_specnorm(int handle, int nfld, const double *spec,
                          double *norms) {
   return run2("specnorm", handle, nfld, spec, norms);

@@ -50,6 +50,23 @@ int main(void) {
   if (ectrans_tpu_specnorm(h, nfld, spec, norms) != 0) return 1;
   printf("specnorms: %.6f %.6f\n", norms[0], norms[1]);
 
+  /* adjoint identity <F x, y> == <x, F^T y> for the inverse transform */
+  double *y = calloc((size_t)nfld * ngptot, sizeof(double));
+  double *xt = calloc((size_t)nfld * nspec2, sizeof(double));
+  for (int i = 0; i < nfld * ngptot; ++i)
+    y[i] = rand() / (double)RAND_MAX - 0.5;
+  if (ectrans_tpu_invtrans_adj(h, nfld, y, xt) != 0) return 1;
+  double lhs = 0.0, rhs = 0.0;
+  for (int i = 0; i < nfld * ngptot; ++i) lhs += gp[i] * y[i];
+  for (int i = 0; i < nfld * nspec2; ++i) rhs += spec[i] * xt[i];
+  printf("adjoint identity: lhs %.9e rhs %.9e\n", lhs, rhs);
+  if (fabs(lhs - rhs) > 1e-9 * fabs(lhs)) {
+    fprintf(stderr, "FAIL: adjoint identity\n");
+    return 3;
+  }
+  free(y);
+  free(xt);
+
   ectrans_tpu_release(h);
   ectrans_tpu_finalize();
   free(spec);
