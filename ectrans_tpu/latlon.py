@@ -137,6 +137,92 @@ def _inv_ll_impl(tables, gl, ct, bt, racthe, spvor, spdiv, spscalar, flags,
     return fourier.synthesis(four, bt)
 
 
+@functools.lru_cache(maxsize=8)
+def _latlon_interp_matrix(res: Resolution, ll: LatLonGrid, order: int = 12):
+    """(ndgl, nlat_ll) Lagrange interpolation matrix taking per-latitude
+    Fourier coefficients from the lat-lon latitudes to the Gaussian ones
+    (the role of the reference's SEEFMM interpolation, ``seefmm_mix.F90``,
+    in the direct lat-lon mode — here a banded barycentric Lagrange
+    stencil of ``order`` nearest nodes)."""
+    th_ll = np.radians(ll.latitudes_deg)           # descending
+    th_g = np.radians(np.degrees(np.arcsin(res.mu)))
+    nll = th_ll.size
+    W = np.zeros((res.ndgl, nll))
+    for i, t in enumerate(th_g):
+        j = np.searchsorted(-th_ll, -t)            # ll lats descending
+        lo = max(0, min(nll - order, j - order // 2))
+        nodes = th_ll[lo : lo + order]
+        for a in range(order):
+            num = 1.0
+            den = 1.0
+            for b in range(order):
+                if a != b:
+                    num *= t - nodes[b]
+                    den *= nodes[a] - nodes[b]
+            W[i, lo + a] = num / den
+    return W
+
+
+def dir_trans_latlon(
+    res: Resolution,
+    ll: LatLonGrid,
+    u=None,
+    v=None,
+    scalars=None,
+    *,
+    dtype=jnp.float32,
+    interp_order: int = 12,
+):
+    """Direct transform from a regular lat-lon grid (the reference's
+    direct LDLL mode, CDMAP before LEDIR, ``cdmap_mod.F90`` +
+    ``seefmm_mix.F90``): zonal analysis on the uniform rows, Lagrange
+    interpolation of the Fourier coefficients onto the Gaussian
+    latitudes, then the standard quadrature-weighted Legendre analysis.
+
+    Accuracy is interpolation-limited (choose nlat >~ 1.5x ndgl for
+    near-spectral accuracy); analysis from the Gaussian grid itself
+    (``dir_trans``) remains the exact path.
+    Returns (spvor, spdiv, spscalar) packed arrays.
+    """
+    if (u is None) != (v is None):
+        raise ValueError("u and v must be supplied together")
+    if u is None and scalars is None:
+        raise ValueError("nothing to transform")
+    dtype = jnp.dtype(dtype)
+    tables = res.device_tables(dtype)
+    gl = res.grouped_legendre(str(dtype))
+    ct = _coeff_tables(res, str(dtype))
+    from .ops.fourier import analysis_uniform, uniform_dft_tables
+    from .ops import legendre_matmul
+
+    ut = uniform_dft_tables(ll.nlon, res.nsmax, str(dtype))
+    W = jnp.asarray(_latlon_interp_matrix(res, ll, interp_order), dtype)
+
+    nuv = u.shape[0] if u is not None else 0
+    parts = ([u.astype(dtype), v.astype(dtype)] if nuv else []) + (
+        [scalars.astype(dtype)] if scalars is not None else [])
+    grid = jnp.concatenate(parts, axis=0)          # (F, nlat_ll, nlon)
+    re, im = analysis_uniform(grid, ut)            # (F, nlat_ll, M)
+    four_ll = jnp.stack([re, im], axis=1).swapaxes(2, 3)  # (F, 2, M, nlat_ll)
+    four = jnp.einsum("gj,fcmj->fcmg", W, four_ll,
+                      precision=jax.lax.Precision.HIGHEST)
+    if nuv:
+        racthe = tables.racthe[None, None, None, :]
+        four = jnp.concatenate([four[: 2 * nuv] * racthe, four[2 * nuv :]], 0)
+    sym, asym = legendre_matmul.legendre_dir_grouped(four, gl,
+                                                     tables.w[: res.ndgnh])
+    dense = layout.parity_to_dense(sym, asym, tables, res.NP)
+    spvor = spdiv = spsc = None
+    if nuv:
+        dvor, ddiv = spectral.uv_to_vordiv(dense[:nuv], dense[nuv : 2 * nuv],
+                                           ct["uvtvd"])
+        spvor = layout.dense_to_packed(dvor, tables)
+        spdiv = layout.dense_to_packed(ddiv, tables)
+    if scalars is not None:
+        spsc = layout.dense_to_packed(dense[2 * nuv :], tables)
+    return spvor, spdiv, spsc
+
+
 def inv_trans_latlon(
     res: Resolution,
     ll: LatLonGrid,
