@@ -10,11 +10,12 @@ batch block: one HBM read of the input, one write of the output, with the
 DFT factor matrices (a few (<=128, <=512) bf16-limb tables) broadcast to
 every block.
 
-STATUS: correct on TPU but currently ~40% slower than the XLA path (the
-(n1<=32)-sized contractions under-utilise the MXU and the in-VMEM
-transposes are not free), so it is NOT the default — set
-ECTRANS_TPU_PALLAS_CONV=1 to experiment.  Kept as the Pallas integration
-point for future per-architecture tuning.
+STATUS: correct on TPU but currently ~45% slower than the XLA path
+(19.9 vs 13.4 ms at TCO639 shapes; tried: transpose-free dataflow, small
+contractions as unrolled VPU FMAs, block sizes 32..128 — XLA's global
+scheduling of the multi-pass matmuls wins), so it is NOT the default —
+set ECTRANS_TPU_PALLAS_CONV=1 to experiment.  Kept as the Pallas
+integration point for future per-architecture tuning.
 
 fp32 matmul precision on the bf16 MXU uses the standard 2-limb split with
 3 cross terms (a_hi b_hi + a_hi b_lo + a_lo b_hi) explicitly, accumulating
@@ -100,10 +101,29 @@ def _cmm(xr, xi, m_hi, m_lo, mi_hi, mi_lo):
     return rr - ii, ri + ir
 
 
+def _small_contract(xr, xi, mr, mi, axis_len, nout):
+    """Unrolled VPU contraction over a small axis-1 (f1/k1 <= ~32):
+    out[:, k, :] = sum_j M[j, k] * x[:, j, :], complex.  Scalars come from
+    host numpy matrices mr/mi (n_in, n_out) baked as constants."""
+    outs_r, outs_i = [], []
+    for k in range(nout):
+        accr = None
+        for j in range(axis_len):
+            cr, ci = float(mr[j, k]), float(mi[j, k])
+            tr = cr * xr[:, j, :] - ci * xi[:, j, :]
+            ti = cr * xi[:, j, :] + ci * xr[:, j, :]
+            accr = tr if accr is None else accr + tr
+            acci = ti if j == 0 else acci + ti
+        outs_r.append(accr[:, None, :])
+        outs_i.append(acci[:, None, :])
+    return (jnp.concatenate(outs_r, axis=1), jnp.concatenate(outs_i, axis=1))
+
+
 def _conv_kernel(ar_ref, ai_ref, bhr_ref, bhi_ref,
                  s1h, s1l, s1ih, s1il, s2h, s2l, s2ih, s2il,
                  i1h, i1l, i1ih, i1il, i2h, i2l, i2ih, i2il,
-                 twr_ref, twi_ref, or_ref, oi_ref, *, n1, n2, f1, fo, in_len):
+                 twr_ref, twi_ref, or_ref, oi_ref, *, n1, n2, f1, fo, in_len,
+                 m1np, m2np):
     blk = ar_ref.shape[0]
     ar = ar_ref[...]
     ai = ai_ref[...]
@@ -111,37 +131,30 @@ def _conv_kernel(ar_ref, ai_ref, bhr_ref, bhi_ref,
     if pad:
         ar = jnp.pad(ar, ((0, 0), (0, pad)))
         ai = jnp.pad(ai, ((0, 0), (0, pad)))
-    # step 1: contract occupied f1-rows -> (b, n2, k1)
-    xr = ar.reshape(blk, f1, n2).transpose(0, 2, 1)
-    xi = ai.reshape(blk, f1, n2).transpose(0, 2, 1)
-    xr, xi = _cmm(xr, xi, s1h[...][:f1], s1l[...][:f1],
-                  s1ih[...][:f1], s1il[...][:f1])      # (b, n2, n1)
-    # twiddle (k1, n2) -> orient (n2, k1)
-    twr = twr_ref[...].T[None]
-    twi = twi_ref[...].T[None]
+    # step 1 (small contraction over the f1 occupied rows): VPU FMAs,
+    # transpose-free -> (b, k1, n2)
+    xr = ar.reshape(blk, f1, n2)
+    xi = ai.reshape(blk, f1, n2)
+    xr, xi = _small_contract(xr, xi, m1np[0], m1np[1], f1, n1)
+    # twiddle (k1, n2)
+    twr = twr_ref[...][None]
+    twi = twi_ref[...][None]
     xr, xi = xr * twr - xi * twi, xr * twi + xi * twr
-    # step 2: contract n2 -> (b, k1, k2)
-    xr = xr.transpose(0, 2, 1)
-    xi = xi.transpose(0, 2, 1)
+    # step 2: contract n2 (lanes) on the MXU -> (b, k1, k2)
     xr, xi = _cmm(xr, xi, s2h[...], s2l[...], s2ih[...], s2il[...])
     # chirp pointwise (per-row bh table), layout (b, k1, k2)
     bhr = bhr_ref[...].reshape(blk, n1, n2)
     bhi = bhi_ref[...].reshape(blk, n1, n2)
     xr, xi = xr * bhr - xi * bhi, xr * bhi + xi * bhr
-    # inverse step 1: contract k2 -> (b, k1, n)
+    # inverse step 1: contract k2 (lanes) on the MXU -> (b, k1, n)
     xr, xi = _cmm(xr, xi, i1h[...], i1l[...], i1ih[...], i1il[...])
-    # conj twiddle, orient (k1, n2)
-    twr2 = twr_ref[...][None]
-    twi2 = twi_ref[...][None]
-    xr, xi = xr * twr2 + xi * twi2, xi * twr2 - xr * twi2
-    # inverse step 2: contract k1 -> (b, n2, fo)
-    xr = xr.transpose(0, 2, 1)
-    xi = xi.transpose(0, 2, 1)
-    xr, xi = _cmm(xr, xi, i2h[...][:, :fo], i2l[...][:, :fo],
-                  i2ih[...][:, :fo], i2il[...][:, :fo])
+    # conj twiddle
+    xr, xi = xr * twr + xi * twi, xi * twr - xr * twi
+    # inverse step 2 (small contraction over k1): VPU FMAs -> (b, fo, n2)
+    xr, xi = _small_contract(xr, xi, m2np[0], m2np[1], n1, fo)
     scale = 1.0 / (n1 * n2)
-    or_ref[...] = xr.transpose(0, 2, 1).reshape(blk, fo * n2) * scale
-    oi_ref[...] = xi.transpose(0, 2, 1).reshape(blk, fo * n2) * scale
+    or_ref[...] = xr.reshape(blk, fo * n2) * scale
+    oi_ref[...] = xi.reshape(blk, fo * n2) * scale
 
 
 @functools.lru_cache(maxsize=32)
@@ -150,8 +163,12 @@ def _build_call(n: int, in_len: int, out_len: int, nrows: int,
     tabs, n1, n2 = _matrix_tables(n)
     f1 = min(n1, -(-in_len // n2))
     fo = min(n1, -(-out_len // n2))
+    t = fft_fourstep._tables_np(n, "float32")
+    # step-1 matrix (f1, k1) and inverse step-2 matrix (k1, fo), fp32 host
+    m1np = (t["f1_r"].T[:f1], t["f1_i"].T[:f1])
+    m2np = (t["f1b_r"].T[:, :fo], t["f1b_i"].T[:, :fo])
     kernel = functools.partial(_conv_kernel, n1=n1, n2=n2, f1=f1, fo=fo,
-                               in_len=in_len)
+                               in_len=in_len, m1np=m1np, m2np=m2np)
     mats = [jnp.asarray(tabs[k]) for k in
             ("s1_hi", "s1_lo", "s1i_hi", "s1i_lo",
              "s2_hi", "s2_lo", "s2i_hi", "s2i_lo",
