@@ -88,6 +88,13 @@ class SpectralTransform:
         return inv_trans_latlon(self.res, ll, spvor, spdiv, spscalar,
                                 flags=flags, dtype=self.dtype)
 
+    def dir_trans_latlon(self, ll, u=None, v=None, scalars=None):
+        """Direct transform from a regular lat-lon grid (direct LDLL mode;
+        interpolation-limited — see ``ectrans_tpu.latlon``)."""
+        from .latlon import dir_trans_latlon
+
+        return dir_trans_latlon(self.res, ll, u, v, scalars, dtype=self.dtype)
+
     # -- norms / utilities ----------------------------------------------
     def specnorm(self, spec, met=None):
         return norms.specnorm(self.res, spec, met)
