@@ -126,3 +126,15 @@ def test_vorgp_divgp_flags():
     ref_div = et.inv_trans(res, spscalar=div, dtype=jnp.float64)
     assert np.abs(np.asarray(out[0]) - np.asarray(ref_vor[0])).max() < 1e-12
     assert np.abs(np.asarray(out[1]) - np.asarray(ref_div[0])).max() < 1e-12
+
+
+def test_bfloat16_smoke():
+    """bfloat16 compute path stays finite and roughly round-trips (the CLI
+    advertises --dtype bfloat16; accuracy is bf16-limited by design)."""
+    res = et.setup("F24", 47)
+    spec = random_packed(res, 2, seed=9).astype(np.float32)
+    g = et.inv_trans(res, spscalar=jnp.asarray(spec), dtype=jnp.bfloat16)
+    assert np.isfinite(np.asarray(g, dtype=np.float32)).all()
+    _, _, s2 = et.dir_trans(res, scalars=g, dtype=jnp.bfloat16)
+    err = np.abs(np.asarray(s2, dtype=np.float32) - spec).max()
+    assert err < 0.15, err
