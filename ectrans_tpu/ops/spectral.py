@@ -11,7 +11,10 @@ Batched, all-m-at-once re-implementations of the reference's per-m loops:
 
 The dense absolute-n layout makes the n±1 couplings plain shifts along the
 last axis, identical for every m — ideal for the VPU.  Coefficient tables
-(functions of (m, n) only) are precomputed once per resolution.
+(functions of (m, n) only) are precomputed once per resolution, in float64
+on host, then cast; they are returned as *numpy* arrays so callers decide
+device placement (the sharded path shards them over the mesh, the
+single-device path device_puts them once).
 """
 
 from __future__ import annotations
@@ -49,7 +52,7 @@ def vordiv_coeff_tables(res, dtype=np.float32):
     b = (n + 2.0) * eps[:, 1 : NP + 1] * rl[None, 1 : NP + 1]
     c = m * rl[None, :NP]
     valid = (n >= m) & (n <= res.nsmax + 1)
-    z = lambda x: jnp.asarray(x, dtype=dtype)
+    z = lambda x: np.asarray(x, dtype=dtype)
     return dict(a=z(a), b=z(b), c=z(c), valid=z(valid.astype(np.float64)))
 
 
@@ -87,7 +90,7 @@ def uvtvd_coeff_tables(res, dtype=np.float32):
     q = (n + 1.0) * eps[:, :NP]
     r = m * np.ones((1, NP))
     valid = (n >= m) & (n <= res.nsmax)
-    z = lambda x: jnp.asarray(x, dtype=dtype)
+    z = lambda x: np.asarray(x, dtype=dtype)
     return dict(p=z(p), q=z(q), r=z(r), valid=z(valid.astype(np.float64)))
 
 
@@ -117,7 +120,7 @@ def nsder_coeff_tables(res, dtype=np.float32):
     a = (n - 1.0) * eps[:, :NP]
     b = (n + 2.0) * eps[:, 1 : NP + 1]
     valid = (n >= m) & (n <= res.nsmax + 1)
-    z = lambda x: jnp.asarray(x, dtype=dtype)
+    z = lambda x: np.asarray(x, dtype=dtype)
     return dict(a=z(a), b=z(b), valid=z(valid.astype(np.float64)))
 
 

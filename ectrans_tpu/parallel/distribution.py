@@ -138,6 +138,11 @@ def build_distribution(res: Resolution, w: int, v: int) -> Distribution:
     )
 
 
+def clear_caches():
+    """Release host-side distribution state (called from trans_end)."""
+    build_distribution.cache_clear()
+
+
 def _permute_m_rows(table: np.ndarray, perm: np.ndarray, pad_value=0.0):
     """table (M, ...) -> (M_pad, ...) with rows reordered by perm; padding
     rows (perm == M) filled with pad_value."""
@@ -148,19 +153,21 @@ def _permute_m_rows(table: np.ndarray, perm: np.ndarray, pad_value=0.0):
     return padded[np.minimum(perm, M)]
 
 
-def host_tables(dist: Distribution) -> dict:
+def host_tables(dist: Distribution, dtype_str: str = "float32") -> dict:
     """All numpy tables for the sharded pipeline, in permuted/padded layout.
 
     Keys ending in ``_w`` are sharded over mesh axis "w" on their first
-    (or stated) axis; others are replicated.
+    (or stated) axis; others are replicated.  ``dtype_str`` selects the
+    Legendre-table precision source (fp64 requests lazily upgrade fp32
+    setup tables — see ``Resolution.parity_tables``).
     """
     res = dist.res
     M, NP = res.M, res.NP
     perm = dist.perm
 
-    ct_vd = {k: np.asarray(val) for k, val in _np_tables(spectral_ops.vordiv_coeff_tables, res)}
-    ct_tv = {k: np.asarray(val) for k, val in _np_tables(spectral_ops.uvtvd_coeff_tables, res)}
-    ct_ns = {k: np.asarray(val) for k, val in _np_tables(spectral_ops.nsder_coeff_tables, res)}
+    ct_vd = spectral_ops.vordiv_coeff_tables(res, dtype=np.float64)
+    ct_tv = spectral_ops.uvtvd_coeff_tables(res, dtype=np.float64)
+    ct_ns = spectral_ops.nsder_coeff_tables(res, dtype=np.float64)
 
     out = {
         # layout index maps
@@ -202,6 +209,7 @@ def host_tables(dist: Distribution) -> dict:
     # s*Lg + j = P[perm[s*ML + off + j]][i0:, :kg] (zero rows for padding) —
     # sharded over "w" each shard sees the identically-shaped (Lg, Ig, Kg)
     ML = dist.ML
+    psym_h, pasym_h = res.parity_tables(dtype_str)
     for gi, g in enumerate(dist.groups):
         ig = res.ndgnh - g.i0
         ps = np.zeros((dist.w * g.Lg, ig, g.kg))
@@ -210,14 +218,10 @@ def host_tables(dist: Distribution) -> dict:
             for j in range(g.Lg):
                 m = perm[s * ML + g.off + j]
                 if m < M:
-                    ps[s * g.Lg + j] = res.psym[m, g.i0 :, : g.kg]
-                    pa[s * g.Lg + j] = res.pasym[m, g.i0 :, : g.kg]
+                    ps[s * g.Lg + j] = psym_h[m, g.i0 :, : g.kg]
+                    pa[s * g.Lg + j] = pasym_h[m, g.i0 :, : g.kg]
         out[f"lg{gi}_psym_w"] = ps
         out[f"lg{gi}_pasym_w"] = pa
     return out
 
 
-def _np_tables(fn, res):
-    """Call a coeff-table builder in float64 and yield numpy items."""
-    d = fn(res, dtype=np.float64)
-    return [(k, np.asarray(v)) for k, v in d.items()]

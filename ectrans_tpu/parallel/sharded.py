@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..resolution import Resolution
-from ..transform import InvFlags
+from ..transform import InvFlags, _check_spec, _check_grid_arg
 from ..ops import spectral
 from ..ops.fourier import BluesteinTables, synthesis, analysis
 from .distribution import build_distribution, host_tables
@@ -66,11 +66,11 @@ class ShardedTransform:
         self.dist = build_distribution(res, self.w, self.v)
         self._place_tables()
         self._inv_jit = {}
-        self._dir_jit = None
+        self._dir_jit = {}
 
     # ------------------------------------------------------------------
     def _place_tables(self):
-        host = host_tables(self.dist)
+        host = host_tables(self.dist, str(self.dtype))
         dev, specs = {}, {}
         for k, val in host.items():
             if not isinstance(val, np.ndarray):
@@ -359,6 +359,17 @@ class ShardedTransform:
         (nfld_out, ndgl, ndlon) laid out with sharding P(None, ("w","v"), None).
         Padded fields (from rounding nfld up to v) are stripped.
         """
+        if (spvor is None) != (spdiv is None):
+            raise ValueError("spvor and spdiv must be supplied together")
+        if spvor is not None and spvor.shape != spdiv.shape:
+            raise ValueError(
+                f"spvor/spdiv shape mismatch: {spvor.shape} vs {spdiv.shape}")
+        if spvor is None and spscalar is None:
+            raise ValueError(
+                "nothing to transform: pass spvor/spdiv and/or spscalar")
+        for nm, arr in (("spvor", spvor), ("spdiv", spdiv),
+                        ("spscalar", spscalar)):
+            _check_spec(nm, arr, self.res)
         spvor, nuv = self._pad_fields(spvor)
         spdiv, _ = self._pad_fields(spdiv)
         spsc, nsc = self._pad_fields(spscalar)
@@ -419,15 +430,23 @@ class ShardedTransform:
     # ------------------------------------------------------------------
     def dir_trans(self, u=None, v=None, scalars=None):
         """Distributed direct transform: grid -> packed spectral arrays."""
+        if (u is None) != (v is None):
+            raise ValueError("u and v must be supplied together")
+        if u is not None and u.shape != v.shape:
+            raise ValueError(f"u/v shape mismatch: {u.shape} vs {v.shape}")
+        if u is None and scalars is None:
+            raise ValueError("nothing to transform: pass u/v and/or scalars")
+        for nm, arr in (("u", u), ("v", v), ("scalars", scalars)):
+            _check_grid_arg(nm, arr, self.res)
         u, nuv = self._pad_fields(u)
         v, _ = self._pad_fields(v)
         sc, nsc = self._pad_fields(scalars)
         Fuv_g = 0 if u is None else u.shape[0]
         Fsc_g = 0 if sc is None else sc.shape[0]
         key = (Fuv_g, Fsc_g)
-        if self._dir_jit is None or self._dir_jit[0] != key:
-            self._dir_jit = (key, self._build_dir(Fuv_g, Fsc_g))
-        spvor, spdiv, spsc = self._dir_jit[1](u, v, sc)
+        if key not in self._dir_jit:
+            self._dir_jit[key] = self._build_dir(Fuv_g, Fsc_g)
+        spvor, spdiv, spsc = self._dir_jit[key](u, v, sc)
         spvor = spvor[:nuv] if nuv else None
         spdiv = spdiv[:nuv] if nuv else None
         spsc = spsc[:nsc] if nsc else None

@@ -89,6 +89,26 @@ class Resolution:
         return self.grid.nspec2
 
     # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=2)
+    def parity_tables(self, dtype_str: str = "float32"):
+        """(psym, pasym) host tables at >= the requested precision.
+
+        Above ECTRANS_TPU_FP64_TABLE_LIMIT the setup-time tables are built
+        in float32 (device compute there is float32); when a caller then
+        explicitly requests a float64 transform, the fp64 tables are built
+        lazily here (and cached) so dtype=float64 always means true double
+        precision — never silently fp32-table accuracy."""
+        if np.dtype(dtype_str) != np.float64 or self.psym.dtype == np.float64:
+            return self.psym, self.pasym
+        from .cache import load_parity_cached
+
+        psym, pasym, kmax = load_parity_cached(
+            self.grid, self.mu[: self.ndgnh], self.nmen[: self.ndgnh],
+            dtype=np.float64,
+        )
+        assert kmax == self.kmax
+        return psym, pasym
+
     @functools.lru_cache(maxsize=4)
     def grouped_legendre(self, dtype_str: str = "float32",
                          ngroups: int | None = None) -> "GroupedLegendre":
@@ -104,6 +124,7 @@ class Resolution:
 
         _ensure_pytrees()
         M, ndgnh, nmax = self.M, self.ndgnh, self.nsmax + 1
+        psym, pasym = self.parity_tables(dtype_str)
         if ngroups is None:
             ngroups = max(1, min(16, M // 8))
         bs = -(-M // ngroups)
@@ -118,8 +139,8 @@ class Resolution:
             kg = (nmax - m0) // 2 + 1      # max parity coeff count in group
             groups.append(LegendreGroup(
                 m0=m0, m1=m1, i0=i0, kg=kg,
-                psym=jnp.asarray(self.psym[m0:m1, i0:, :kg], dtype=dtype_str),
-                pasym=jnp.asarray(self.pasym[m0:m1, i0:, :kg], dtype=dtype_str),
+                psym=jnp.asarray(psym[m0:m1, i0:, :kg], dtype=dtype_str),
+                pasym=jnp.asarray(pasym[m0:m1, i0:, :kg], dtype=dtype_str),
             ))
         return GroupedLegendre(groups=tuple(groups), ndgnh=ndgnh, kmax=self.kmax)
 
@@ -270,13 +291,31 @@ def trans_end() -> None:
     caller keep working; this only drops the framework-held caches."""
     _CURRENT.clear()
     _setup_cached.cache_clear()
+    Resolution.parity_tables.cache_clear()
+    Resolution.grouped_legendre.cache_clear()
+    Resolution.device_tables.cache_clear()
     from .ops import fourier
 
+    fourier.host_bluestein_tables.cache_clear()
     fourier.build_bluestein_tables.cache_clear()
     fourier.uniform_dft_tables.cache_clear()
     from . import transform as _t
 
     _t._coeff_tables.cache_clear()
+    from . import latlon as _ll
+
+    _ll._latlon_tables.cache_clear()
+    _ll._latlon_interp_matrix.cache_clear()
+    from .lam.resolution import LamResolution, setup_lam
+
+    LamResolution.device_tables.cache_clear()
+    setup_lam.cache_clear()
+    from . import compat4py as _c4
+
+    _c4._lam_res.cache_clear()
+    from .parallel import distribution as _pd
+
+    _pd.clear_caches()
 
 
 def ini_spec_dist(nsmax: int, nprtrw: int) -> dict:
@@ -331,6 +370,12 @@ def setup(grid_or_name: Any, nsmax: int | None = None,
     evaluated at the stretched latitudes mu' = (t + mu)/(1 + t*mu),
     t = (1 - c^2)/(1 + c^2) (``suleg_mod.F90:272-287``), while the
     Gaussian quadrature weights stay those of the computational sphere.
+
+    Precision note: setup-time Legendre tables are built in float64 up to
+    nsmax = ECTRANS_TPU_FP64_TABLE_LIMIT (default 800) and in float32 above
+    it (matching the float32 device compute there).  A transform called
+    with an explicit ``dtype=float64`` always gets true fp64 tables — they
+    are built lazily on first use (``Resolution.parity_tables``).
     """
     if isinstance(grid_or_name, GridSpec):
         grid = grid_or_name

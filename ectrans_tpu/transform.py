@@ -59,12 +59,12 @@ def num_inv_output_fields(nfld_uv: int, nfld_sc: int, flags: InvFlags) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _coeff_tables(res: Resolution, dtype_str: str):
-    dtype = jnp.dtype(dtype_str)
-    return dict(
-        vd=spectral.vordiv_coeff_tables(res, dtype),
-        uvtvd=spectral.uvtvd_coeff_tables(res, dtype),
-        nsd=spectral.nsder_coeff_tables(res, dtype),
-    )
+    np_dtype = np.dtype(dtype_str)
+    return jax.device_put(dict(
+        vd=spectral.vordiv_coeff_tables(res, np_dtype),
+        uvtvd=spectral.uvtvd_coeff_tables(res, np_dtype),
+        nsd=spectral.nsder_coeff_tables(res, np_dtype),
+    ))
 
 
 def _ew_derivative(four, racthe):
