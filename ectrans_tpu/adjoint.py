@@ -47,7 +47,11 @@ def inv_trans_adj(
             i = 2
         if nfld_sc:
             spsc = specs[i]
-        return inv_trans(res, spvor, spdiv, spsc, flags=flags, dtype=dtype)
+        # _normalize=False: linear_transpose needs a structurally linear
+        # trace; the RMS pre-scaling cancels exactly, so this is the same
+        # operator (see fourier.synthesis)
+        return inv_trans(res, spvor, spdiv, spsc, flags=flags, dtype=dtype,
+                         _normalize=False)
 
     transpose = jax.linear_transpose(fwd, *shapes)
     outs = transpose(grid_ad.astype(dtype))
@@ -91,7 +95,7 @@ def dir_trans_adj(
             i = 2
         if nfld_sc:
             sc = grids[i]
-        sv, sd, ss = dir_trans(res, u, v, sc, dtype=dtype)
+        sv, sd, ss = dir_trans(res, u, v, sc, dtype=dtype, _normalize=False)
         return tuple(x for x in (sv, sd, ss) if x is not None)
 
     cotangents = tuple(

@@ -12,6 +12,14 @@ MXU-matmul FFT** (``ops.fft_fourstep``):
   transformed in one uniform call instead of one FFT plan per distinct NLOEN
   (the reference's per-loen plan cache, ``hicfft.cuda.cu:136-160``).  Reduced
   and full Gaussian grids take the same path.
+* **Real transforms run two fields per complex transform** (the classic
+  c2r/r2c pair trick): for synthesis, the pair (a, b) is packed as the full
+  Hermitian spectrum w_k = F_a,k + i F_b,k (k = -mmax..mmax, with
+  w_{-m} = conj(F_a,m) + i conj(F_b,m)), so ONE complex inverse DFT emits
+  f_a + i f_b — no discarded imaginary half.  The convolution span grows
+  from L+mmax to L+2mmax, but the field count halves: ~40% fewer MXU FLOPs.
+  Fields are RMS-normalized before packing so the pair's cross-field
+  rounding (~eps * |partner|) stays relative to each field's own scale.
 
 Normalization matches the reference (``tpm_fftw.F90:251-377``): the direct
 (analysis) DFT divides by NLOEN; synthesis is unnormalized, i.e.
@@ -58,19 +66,19 @@ class BluesteinTables:
     nfft: int
     mmax: int           # max zonal mode index (nsmax)
     ndlon: int
-    # synthesis (inverse): C_m -> f_j
-    syn_in_r: Any       # (ndgl, mmax+1): c_m * e^{+i pi m^2/L}, masked m<=nmen
+    # synthesis (inverse, pair-packed): w slots p = k+mmax, k = -mmax..mmax
+    syn_in_r: Any       # (ndgl, 2*mmax+1): e^{+i pi k^2/L}, masked |k|<=nmen
     syn_in_i: Any
-    syn_bh_r: Any       # (ndgl, nfft): FFT of e^{-i pi k^2/L}
+    syn_bh_r: Any       # (ndgl, nfft): FFT of the offset chirp kernel
     syn_bh_i: Any
     syn_out_r: Any      # (ndgl, ndlon): e^{+i pi j^2/L}, masked j < L
     syn_out_i: Any
-    # analysis (direct): f_j -> F_m
+    # analysis (direct, pair-packed): output slots t = m+mmax
     ana_in_r: Any       # (ndgl, ndlon): e^{-i pi j^2/L}, masked j < L
     ana_in_i: Any
-    ana_bh_r: Any       # (ndgl, nfft): FFT of e^{+i pi k^2/L}
+    ana_bh_r: Any       # (ndgl, nfft): FFT of the offset chirp kernel
     ana_bh_i: Any
-    ana_out_r: Any      # (ndgl, mmax+1): (1/L) e^{-i pi m^2/L}, masked
+    ana_out_r: Any      # (ndgl, 2*mmax+1): (1/L) e^{-i pi m^2/L}, masked
     ana_out_i: Any
 
 
@@ -86,39 +94,44 @@ def host_bluestein_tables(nloen: tuple, nmen: tuple, nsmax: int) -> dict:
     ndgl = len(nloen)
     mmax = nsmax
     ndlon = max(nloen)
-    nfft = fft_fourstep.good_size(ndlon + mmax + 1)
+    P = 2 * mmax + 1  # full-spectrum slots, p = k + mmax with k = -mmax..mmax
+    nfft = fft_fourstep.good_size(ndlon + P)
 
-    syn_in = np.zeros((ndgl, mmax + 1), dtype=np.complex128)
+    syn_in = np.zeros((ndgl, P), dtype=np.complex128)
     syn_bh = np.zeros((ndgl, nfft), dtype=np.complex128)
     syn_out = np.zeros((ndgl, ndlon), dtype=np.complex128)
     ana_in = np.zeros((ndgl, ndlon), dtype=np.complex128)
     ana_bh = np.zeros((ndgl, nfft), dtype=np.complex128)
-    ana_out = np.zeros((ndgl, mmax + 1), dtype=np.complex128)
-
-    from . import fft_fourstep
+    ana_out = np.zeros((ndgl, P), dtype=np.complex128)
 
     om = fft_fourstep.ord_map(nfft)
     for l, (L, me) in enumerate(zip(nloen, nmen)):
         me = min(me, mmax)
-        ms = np.arange(me + 1)
+        # NB: k is a literal (not mod-L) wavenumber in the chirp identity,
+        # so modes with 2*me >= L are evaluated exactly (the lat-lon path
+        # synthesizes spectral sums beyond the row's Nyquist on purpose).
+        ks = np.arange(-me, me + 1)  # signed wavenumber at slots mmax+ks
         js = np.arange(L)
-        # synthesis: f_j = Re[ e^{+i pi j^2/L}
-        #                      sum_m (c_m C_m e^{+i pi m^2/L}) e^{-i pi (j-m)^2/L} ]
-        cm = np.where(ms == 0, 1.0, 2.0)
-        syn_in[l, : me + 1] = cm * _chirp(L, ms, +1.0)
-        ks = np.arange(-mmax, L)  # k = j - m
+        # synthesis (pair-packed): g_j = e^{+i pi j^2/L}
+        #     sum_k (w_k e^{+i pi k^2/L}) e^{-i pi (j-k)^2/L},  k=-mmax..mmax
+        # with w stored at slot p = k+mmax, so the circular-conv kernel is
+        # the chirp offset by mmax: b[u] = e^{-i pi (u+mmax)^2/L}.
+        syn_in[l, mmax + ks] = _chirp(L, ks, +1.0)
+        us = np.arange(-2 * mmax, L)  # u = j - p
         b = np.zeros(nfft, dtype=np.complex128)
-        b[ks % nfft] = _chirp(L, ks, -1.0)
+        b[us % nfft] = _chirp(L, us + mmax, -1.0)
         syn_bh[l] = np.fft.fft(b)[om]  # pre-permuted to fourstep ORD
         syn_out[l, :L] = _chirp(L, js, +1.0)
-        # analysis: F_m = (1/L) e^{-i pi m^2/L}
-        #                  sum_j (f_j e^{-i pi j^2/L}) e^{+i pi (m-j)^2/L}
+        # analysis (pair-packed): Z at slots t = m+mmax, m = -mmax..mmax:
+        # Z_m = (1/L) e^{-i pi m^2/L}
+        #         sum_j (z_j e^{-i pi j^2/L}) e^{+i pi (m-j)^2/L}
+        # kernel offset: b2[u] = e^{+i pi (u-mmax)^2/L}, u = t - j.
         ana_in[l, :L] = _chirp(L, js, -1.0)
-        ks2 = np.arange(-(L - 1), mmax + 1)  # k = m - j
+        us2 = np.arange(-(L - 1), 2 * mmax + 1)
         b2 = np.zeros(nfft, dtype=np.complex128)
-        b2[ks2 % nfft] = _chirp(L, ks2, +1.0)
+        b2[us2 % nfft] = _chirp(L, us2 - mmax, +1.0)
         ana_bh[l] = np.fft.fft(b2)[om]  # pre-permuted to fourstep ORD
-        ana_out[l, : me + 1] = _chirp(L, ms, -1.0) / L
+        ana_out[l, mmax + ks] = _chirp(L, ks, -1.0) / L
 
     return dict(
         nfft=nfft, mmax=mmax, ndlon=ndlon,
@@ -337,32 +350,102 @@ def _chunked_conv(ar, ai, bhr, bhi, out_len=None):
     return vr, vi
 
 
-def synthesis(fourier, bt: BluesteinTables):
+def _rms_scale(x, axes):
+    """Per-field RMS (stop-gradient-free, zeros guarded) for pair packing."""
+    import jax.numpy as jnp
+
+    r = jnp.sqrt(jnp.mean(x * x, axis=axes, keepdims=True))
+    return jnp.where(r > 0, r, 1.0)
+
+
+def _pad_pair(x):
+    """Pad the leading field axis to even length."""
+    import jax.numpy as jnp
+
+    if x.shape[0] % 2:
+        x = jnp.concatenate(
+            [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    return x
+
+
+def synthesis(fourier, bt: BluesteinTables, normalize: bool = True):
     """(nfld, 2, M, ndgl) Fourier coeffs -> grid (nfld, ndgl, ndlon).
 
     Ragged rows (lat with NLOEN < ndlon) are zero beyond their length.  One
-    batched chirp-z (four-step MXU FFT) covers every latitude.
+    batched chirp-z (four-step MXU FFT) covers every latitude; fields are
+    transformed two-per-complex-transform via Hermitian full-spectrum
+    packing (module docstring).
+
+    normalize=False skips the (data-dependent) RMS pre-scaling — required
+    under ``jax.linear_transpose`` (adjoints), where the traced function
+    must be structurally linear; the scaling cancels exactly in exact
+    arithmetic, so the transposed operator is the same operator.
     """
-    re = fourier[:, 0].swapaxes(1, 2)  # (nfld, ndgl, M)
-    im = fourier[:, 1].swapaxes(1, 2)
-    M = re.shape[-1]
-    ar, ai = _cmul(re, im, bt.syn_in_r[None, :, :M], bt.syn_in_i[None, :, :M])
+    import jax.numpy as jnp
+
+    nfld = fourier.shape[0]
+    M = fourier.shape[2]
+    if M != bt.mmax + 1:
+        raise ValueError(f"synthesis expects M == mmax+1 ({bt.mmax+1}), got {M}")
+    x = _pad_pair(fourier)
+    if normalize:
+        scale = _rms_scale(x, (1, 2, 3))
+        x = x / scale
+    else:
+        scale = jnp.ones((x.shape[0], 1, 1, 1), x.dtype)
+    A, B = x[0::2], x[1::2]                   # (P2, 2, M, ndgl)
+    Ar = A[:, 0].swapaxes(1, 2)               # (P2, ndgl, M)
+    mask0 = (jnp.arange(M) > 0).astype(x.dtype)
+    Ai = A[:, 1].swapaxes(1, 2) * mask0       # m=0 imag is ignored (c2r parity)
+    Br = B[:, 0].swapaxes(1, 2)
+    Bi = B[:, 1].swapaxes(1, 2) * mask0
+    # Hermitian pack: w_m = F_a,m + i F_b,m;  w_{-m} = conj(F_a,m) + i conj(F_b,m)
+    wr_pos, wi_pos = Ar - Bi, Ai + Br                      # slots mmax..2mmax
+    wr_neg = (Ar + Bi)[..., 1:][..., ::-1]                 # slots 0..mmax-1
+    wi_neg = (Br - Ai)[..., 1:][..., ::-1]
+    wr = jnp.concatenate([wr_neg, wr_pos], axis=-1)        # (P2, ndgl, 2M-1)
+    wi = jnp.concatenate([wi_neg, wi_pos], axis=-1)
+    ar, ai = _cmul(wr, wi, bt.syn_in_r[None], bt.syn_in_i[None])
     vr, vi = _chunked_conv(ar, ai, bt.syn_bh_r[None], bt.syn_bh_i[None],
                            out_len=bt.ndlon)
     vr, vi = vr[..., : bt.ndlon], vi[..., : bt.ndlon]
-    out = vr * bt.syn_out_r[None] - vi * bt.syn_out_i[None]  # real part only
-    return out.astype(fourier.dtype)
+    ga = vr * bt.syn_out_r[None] - vi * bt.syn_out_i[None]   # Re -> field a
+    gb = vr * bt.syn_out_i[None] + vi * bt.syn_out_r[None]   # Im -> field b
+    out = jnp.stack([ga, gb], axis=1).reshape(-1, ga.shape[1], ga.shape[2])
+    return (out[:nfld] * scale[:nfld, 0]).astype(fourier.dtype)
 
 
-def analysis(grid, bt: BluesteinTables, M: int):
-    """grid (nfld, ndgl, ndlon) -> Fourier coeffs (nfld, 2, M, ndgl)."""
+def analysis(grid, bt: BluesteinTables, M: int, normalize: bool = True):
+    """grid (nfld, ndgl, ndlon) -> Fourier coeffs (nfld, 2, M, ndgl).
+
+    Two real fields per complex transform (r2c pair trick): z = f_a + i f_b,
+    then F_a,m = (Z_m + conj Z_{-m})/2, F_b,m = (Z_m - conj Z_{-m})/(2i).
+    ``normalize`` as in :func:`synthesis`.
+    """
     import jax.numpy as jnp
 
-    ar = grid * bt.ana_in_r[None]
-    ai = grid * bt.ana_in_i[None]
-    vr, vi = _chunked_conv(ar, ai, bt.ana_bh_r[None], bt.ana_bh_i[None],
-                           out_len=bt.mmax + 1)
-    vr, vi = vr[..., : bt.mmax + 1], vi[..., : bt.mmax + 1]
-    outr, outi = _cmul(vr, vi, bt.ana_out_r[None], bt.ana_out_i[None])
-    out = jnp.stack([outr[..., :M], outi[..., :M]], axis=1)  # (nfld, 2, ndgl, M)
-    return out.swapaxes(2, 3).astype(grid.dtype)
+    nfld = grid.shape[0]
+    mmax = bt.mmax
+    if M > mmax + 1:
+        raise ValueError(f"analysis expects M <= mmax+1 ({mmax+1}), got {M}")
+    x = _pad_pair(grid)
+    if normalize:
+        scale = _rms_scale(x, (1, 2))
+        x = x / scale
+    else:
+        scale = jnp.ones((x.shape[0], 1, 1), x.dtype)
+    ga, gb = x[0::2], x[1::2]                  # (P2, ndgl, ndlon)
+    sr = ga * bt.ana_in_r[None] - gb * bt.ana_in_i[None]
+    si = ga * bt.ana_in_i[None] + gb * bt.ana_in_r[None]
+    vr, vi = _chunked_conv(sr, si, bt.ana_bh_r[None], bt.ana_bh_i[None],
+                           out_len=2 * mmax + 1)
+    vr, vi = vr[..., : 2 * mmax + 1], vi[..., : 2 * mmax + 1]
+    zr, zi = _cmul(vr, vi, bt.ana_out_r[None], bt.ana_out_i[None])
+    zp_r, zp_i = zr[..., mmax : mmax + M], zi[..., mmax : mmax + M]
+    zn_r = zr[..., mmax::-1][..., :M]
+    zn_i = zi[..., mmax::-1][..., :M]
+    fa = jnp.stack([(zp_r + zn_r) * 0.5, (zp_i - zn_i) * 0.5], axis=1)
+    fb = jnp.stack([(zp_i + zn_i) * 0.5, (zn_r - zp_r) * 0.5], axis=1)
+    out = jnp.stack([fa, fb], axis=1)          # (P2, 2fields, 2cmp, ndgl, M)
+    out = out.reshape(-1, 2, out.shape[3], M)[:nfld]
+    return (out.swapaxes(2, 3) * scale[:nfld, None]).astype(grid.dtype)

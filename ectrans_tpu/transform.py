@@ -94,9 +94,9 @@ def _check_grid_arg(name, arr, res):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("flags", "fspgl_proc"))
+@functools.partial(jax.jit, static_argnames=("flags", "fspgl_proc", "normalize"))
 def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
-              fspgl_proc=None):
+              fspgl_proc=None, normalize=True):
     dtype = tables.racthe.dtype
     racthe = tables.racthe[None, None, None, :]  # broadcast over (f, c, m, lat)
     nfld_uv = spvor.shape[0] if spvor is not None else 0
@@ -136,11 +136,11 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
         # user-supplied Fourier-space hook (reference FSPGL_INT,
         # fspgl_int_mod.F90: the IFS semi-Lagrangian callback point)
         four = fspgl_proc(four)
-    return fourier.synthesis(four, bt)
+    return fourier.synthesis(four, bt, normalize=normalize)
 
 
-@jax.jit
-def _dir_impl(tables, gl, ct, bt, u, v, scalars):
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True):
     dtype = tables.racthe.dtype
     racthe = tables.racthe[None, None, None, :]
     nfld_uv = u.shape[0] if u is not None else 0
@@ -154,7 +154,7 @@ def _dir_impl(tables, gl, ct, bt, u, v, scalars):
 
     M = tables.dense_gather.shape[1]
     NP = tables.dense_gather.shape[2]
-    four = fourier.analysis(grid, bt, M)
+    four = fourier.analysis(grid, bt, M, normalize=normalize)
     if nfld_uv:
         # LDFOU2: scale u, v Fourier coefficients by 1/(a cos(theta))
         uvpart = four[: 2 * nfld_uv] * racthe
@@ -185,6 +185,7 @@ def inv_trans(
     flags: InvFlags = InvFlags(),
     dtype=jnp.float32,
     fspgl_proc=None,
+    _normalize=True,
 ):
     """Inverse transform: packed spectral arrays -> grid fields.
 
@@ -209,7 +210,7 @@ def inv_trans(
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.tables_for(res, dtype)
     return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
-                     fspgl_proc)
+                     fspgl_proc, _normalize)
 
 
 def dir_trans(
@@ -219,6 +220,7 @@ def dir_trans(
     scalars=None,
     *,
     dtype=jnp.float32,
+    _normalize=True,
 ):
     """Direct transform: grid fields -> packed spectral arrays.
 
@@ -238,4 +240,4 @@ def dir_trans(
     gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.tables_for(res, dtype)
-    return _dir_impl(tables, gl, ct, bt, u, v, scalars)
+    return _dir_impl(tables, gl, ct, bt, u, v, scalars, _normalize)

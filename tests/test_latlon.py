@@ -66,7 +66,7 @@ def test_latlon_matches_gaussian_at_equator_symmetry():
     spec[0, res.nasm0[0] + 2 * 4] = 1.0  # (m=0, n=4)
     out = np.asarray(inv_trans_latlon(res, ll, spscalar=jnp.asarray(spec),
                                       dtype=jnp.float64))[0]
-    assert np.abs(out - out[:, :1]).max() < 1e-13
+    assert np.abs(out - out[:, :1]).max() < 1e-12
 
 
 def test_latlon_adjoint_identity():
