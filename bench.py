@@ -99,7 +99,7 @@ def phase_profile(res, dtype="float32"):
     from ectrans_tpu.ops import fourier, legendre_matmul
 
     gl = res.grouped_legendre(str(jnp.dtype(dtype)))
-    bt = fourier.tables_for(res, dtype)
+    bt = fourier.bucketed_tables_for(res, dtype)
     w = jnp.asarray(res.w[: res.ndgnh], dtype)
     rng = np.random.default_rng(1)
 
@@ -110,8 +110,8 @@ def phase_profile(res, dtype="float32"):
 
     @jax.jit
     def fft_pair(four, bt):
-        grid = fourier.synthesis(four, bt)
-        return fourier.analysis(grid, bt, four.shape[2])
+        grid = fourier.synthesis_bucketed(four, bt)
+        return fourier.analysis_bucketed(grid, bt, four.shape[2])
 
     def sym_in(F):
         return (

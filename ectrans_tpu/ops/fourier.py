@@ -166,6 +166,8 @@ def _ensure_pytrees():
     for cls, meta in (
         (BluesteinTables, ["nfft", "mmax", "ndlon"]),
         (UniformDftTables, ["L", "kmax", "nfft"]),
+        (LatBucket, ["i0", "i1", "mb"]),
+        (BucketedTables, ["ndgl", "ndlon", "mmax"]),
     ):
         jax.tree_util.register_dataclass(
             cls,
@@ -197,6 +199,122 @@ def tables_for(res, dtype) -> BluesteinTables:
     dt = "float64" if jnp.dtype(dtype) == jnp.float64 else "float32"
     key = (tuple(res.grid.nloen), tuple(int(x) for x in res.nmen), res.nsmax)
     return build_bluestein_tables(key, dt)
+
+
+# ----------------------------------------------------------------------
+# Latitude-bucketed transforms.  On reduced grids both NLOEN and the
+# per-latitude truncation NMEN shrink toward the poles, so one global
+# worst-case convolution length wastes most of its bandwidth on polar
+# rows.  Latitudes are split into hemisphere-symmetric buckets, each with
+# its own (smaller) chirp length — the TPU analogue of the reference's
+# per-NLOEN FFT plan cache (``hicfft.cuda.cu:136-160``), but with a
+# bounded number of uniform batches instead of one plan per length.
+# At TCO1279 the polar bucket's nfft is ~5x smaller than the equatorial
+# one; total convolution traffic roughly halves.
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class LatBucket:
+    bt: BluesteinTables
+    i0: int     # NH row range [i0, i1); SH mirror rows [ndgl-i1, ndgl-i0)
+    i1: int
+    mb: int     # max retained zonal mode in this bucket
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BucketedTables:
+    buckets: tuple
+    ndgl: int
+    ndlon: int
+    mmax: int
+
+
+@functools.lru_cache(maxsize=8)
+def bucketed_tables(grid_key, dtype_str: str, nbuckets: int = 6) -> BucketedTables:
+    """Hemisphere-symmetric equal-latitude buckets with per-bucket tables."""
+    _ensure_pytrees()
+    nloen, nmen, nsmax = grid_key
+    ndgl = len(nloen)
+    nh = ndgl // 2
+    nb = 1 if nh < 16 * nbuckets else nbuckets
+    bounds = [round(nh * b / nb) for b in range(nb + 1)]
+    buckets = []
+    for b in range(nb):
+        i0, i1 = bounds[b], bounds[b + 1]
+        if i0 == i1:
+            continue
+        rows = list(range(i0, i1)) + list(range(ndgl - i1, ndgl - i0))
+        nloen_b = tuple(nloen[r] for r in rows)
+        mb = min(nsmax, max(nmen[r] for r in rows))
+        nmen_b = tuple(min(nmen[r], mb) for r in rows)
+        buckets.append(LatBucket(
+            bt=build_bluestein_tables((nloen_b, nmen_b, mb), dtype_str),
+            i0=i0, i1=i1, mb=mb,
+        ))
+    return BucketedTables(buckets=tuple(buckets), ndgl=ndgl,
+                          ndlon=max(nloen), mmax=nsmax)
+
+
+def bucketed_tables_for(res, dtype) -> BucketedTables:
+    import jax.numpy as jnp
+
+    dt = "float64" if jnp.dtype(dtype) == jnp.float64 else "float32"
+    key = (tuple(res.grid.nloen), tuple(int(x) for x in res.nmen), res.nsmax)
+    return bucketed_tables(key, dt)
+
+
+def synthesis_bucketed(fourier, mbt: BucketedTables, normalize: bool = True):
+    """(nfld, 2, M, ndgl) -> (nfld, ndgl, ndlon) via per-bucket chirp-z."""
+    import jax.numpy as jnp
+
+    nfld = fourier.shape[0]
+    if fourier.shape[2] != mbt.mmax + 1:
+        raise ValueError("synthesis_bucketed expects M == mmax+1")
+    x = _pad_pair(fourier)
+    if normalize:
+        scale = _rms_scale(x, (1, 2, 3))
+        x = x / scale
+    else:
+        scale = jnp.ones((x.shape[0], 1, 1, 1), x.dtype)
+    outs_nh, outs_sh = [], []
+    for bk in mbt.buckets:
+        i0, i1, mb = bk.i0, bk.i1, bk.mb
+        fb = jnp.concatenate(
+            [x[:, :, : mb + 1, i0:i1],
+             x[:, :, : mb + 1, mbt.ndgl - i1 : mbt.ndgl - i0]], axis=-1)
+        g = synthesis(fb, bk.bt, normalize=False)      # (F, rows, ndlon_b)
+        g = _pad_last(g, mbt.ndlon)
+        outs_nh.append(g[:, : i1 - i0])
+        outs_sh.append(g[:, i1 - i0 :])
+    out = jnp.concatenate(outs_nh + outs_sh[::-1], axis=1)
+    return (out[:nfld] * scale[:nfld, 0]).astype(fourier.dtype)
+
+
+def analysis_bucketed(grid, mbt: BucketedTables, M: int, normalize: bool = True):
+    """(nfld, ndgl, ndlon) -> (nfld, 2, M, ndgl) via per-bucket chirp-z."""
+    import jax.numpy as jnp
+
+    nfld = grid.shape[0]
+    x = _pad_pair(grid)
+    if normalize:
+        scale = _rms_scale(x, (1, 2))
+        x = x / scale
+    else:
+        scale = jnp.ones((x.shape[0], 1, 1), x.dtype)
+    outs_nh, outs_sh = [], []
+    for bk in mbt.buckets:
+        i0, i1, mb = bk.i0, bk.i1, bk.mb
+        gb = jnp.concatenate(
+            [x[:, i0:i1], x[:, mbt.ndgl - i1 : mbt.ndgl - i0]],
+            axis=1)[..., : bk.bt.ndlon]
+        fb = analysis(gb, bk.bt, min(M, mb + 1), normalize=False)
+        if fb.shape[2] < M:   # pad truncated zonal modes (zero beyond nmen)
+            fb = jnp.pad(fb, [(0, 0), (0, 0), (0, M - fb.shape[2]), (0, 0)])
+        outs_nh.append(fb[..., : i1 - i0])
+        outs_sh.append(fb[..., i1 - i0 :])
+    out = jnp.concatenate(outs_nh + outs_sh[::-1], axis=-1)
+    return (out[:nfld] * scale[:nfld, None, :, :]).astype(grid.dtype)
 
 
 def _pad_last(x, n):

@@ -352,7 +352,7 @@ class ShardedTransform:
         return x.astype(self.dtype), n
 
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
-                  flags: InvFlags = InvFlags()):
+                  flags: InvFlags = InvFlags(), npromatr: int | None = None):
         """Distributed inverse transform.
 
         Inputs: global packed spectral arrays; output: global grid
@@ -370,6 +370,39 @@ class ShardedTransform:
         for nm, arr in (("spvor", spvor), ("spdiv", spdiv),
                         ("spscalar", spscalar)):
             _check_spec(nm, arr, self.res)
+        nuv0 = 0 if spvor is None else spvor.shape[0]
+        nsc0 = 0 if spscalar is None else spscalar.shape[0]
+        if npromatr and 2 * nuv0 + nsc0 > npromatr:
+            from ..transform import _chunk_pad
+            parts = {k: [] for k in
+                     ("vor", "div", "u", "v", "sc", "nsd", "ewu", "ewv", "ewsc")}
+            if nuv0:
+                size = max(1, npromatr // 2)
+                for (cv, real), (cd, _) in zip(_chunk_pad(spvor, size),
+                                               _chunk_pad(spdiv, size)):
+                    out = self.inv_trans(cv, cd, None, flags)
+                    i = 0
+                    if flags.vorgp:
+                        parts["vor"].append(out[i : i + real]); i += size
+                    if flags.divgp:
+                        parts["div"].append(out[i : i + real]); i += size
+                    parts["u"].append(out[i : i + real]); i += size
+                    parts["v"].append(out[i : i + real]); i += size
+                    if flags.uvders:
+                        parts["ewu"].append(out[i : i + real]); i += size
+                        parts["ewv"].append(out[i : i + real]); i += size
+            if nsc0:
+                for csc, real in _chunk_pad(spscalar, max(1, npromatr)):
+                    out = self.inv_trans(None, None, csc, flags)
+                    i = 0
+                    parts["sc"].append(out[i : i + real]); i += max(1, npromatr)
+                    if flags.scders:
+                        parts["nsd"].append(out[i : i + real]); i += max(1, npromatr)
+                        parts["ewsc"].append(out[i : i + real])
+            order = ("vor", "div", "u", "v", "sc", "nsd", "ewu", "ewv", "ewsc")
+            return jnp.concatenate(
+                [jnp.concatenate(parts[k], axis=0) for k in order if parts[k]],
+                axis=0)
         spvor, nuv = self._pad_fields(spvor)
         spdiv, _ = self._pad_fields(spdiv)
         spsc, nsc = self._pad_fields(spscalar)

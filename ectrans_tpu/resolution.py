@@ -298,6 +298,7 @@ def trans_end() -> None:
 
     fourier.host_bluestein_tables.cache_clear()
     fourier.build_bluestein_tables.cache_clear()
+    fourier.bucketed_tables.cache_clear()
     fourier.uniform_dft_tables.cache_clear()
     from . import transform as _t
 

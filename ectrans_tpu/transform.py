@@ -136,7 +136,7 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
         # user-supplied Fourier-space hook (reference FSPGL_INT,
         # fspgl_int_mod.F90: the IFS semi-Lagrangian callback point)
         four = fspgl_proc(four)
-    return fourier.synthesis(four, bt, normalize=normalize)
+    return fourier.synthesis_bucketed(four, bt, normalize=normalize)
 
 
 @functools.partial(jax.jit, static_argnames=("normalize",))
@@ -154,7 +154,7 @@ def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True):
 
     M = tables.dense_gather.shape[1]
     NP = tables.dense_gather.shape[2]
-    four = fourier.analysis(grid, bt, M, normalize=normalize)
+    four = fourier.analysis_bucketed(grid, bt, M, normalize=normalize)
     if nfld_uv:
         # LDFOU2: scale u, v Fourier coefficients by 1/(a cos(theta))
         uvpart = four[: 2 * nfld_uv] * racthe
@@ -185,6 +185,7 @@ def inv_trans(
     flags: InvFlags = InvFlags(),
     dtype=jnp.float32,
     fspgl_proc=None,
+    npromatr: int | None = None,
     _normalize=True,
 ):
     """Inverse transform: packed spectral arrays -> grid fields.
@@ -195,6 +196,14 @@ def inv_trans(
     fspgl_proc: optional jittable callback applied to the Fourier-space
     tensor (nfld_out, 2, M, ndgl) before longitude synthesis (the
     reference's FSPGL_PROC hook, ``fspgl_int_mod.F90:13-110``).
+
+    npromatr: split huge field sets into packets of at most this many
+    fields (counting 2 per vor/div pair), bounding device working-set
+    memory — the library-level NPROMATR of the reference
+    (``inv_trans_ctl_mod.F90:143-276`` + FIELD_SPLIT).  Packets are
+    homogeneous (uv-only / scalar-only) and padded to a uniform size so
+    one compiled executable serves all packets of each kind; outputs are
+    reassembled into the exact single-call PGP ordering.
     """
     if (spvor is None) != (spdiv is None):
         raise ValueError("spvor and spdiv must be supplied together")
@@ -204,13 +213,69 @@ def inv_trans(
         raise ValueError("nothing to transform: pass spvor/spdiv and/or spscalar")
     for nm, arr in (("spvor", spvor), ("spdiv", spdiv), ("spscalar", spscalar)):
         _check_spec(nm, arr, res)
+    nuv = 0 if spvor is None else spvor.shape[0]
+    nsc = 0 if spscalar is None else spscalar.shape[0]
+    if npromatr and 2 * nuv + nsc > npromatr:
+        return _inv_packets(res, spvor, spdiv, spscalar, flags, dtype,
+                            fspgl_proc, npromatr, _normalize)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
     gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
-    bt = fourier.tables_for(res, dtype)
+    bt = fourier.bucketed_tables_for(res, dtype)
     return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
                      fspgl_proc, _normalize)
+
+
+def _chunk_pad(x, size):
+    """Yield equal-`size` leading-axis chunks of x (last padded with zeros),
+    with the count of real fields in each."""
+    n = x.shape[0]
+    for i in range(0, n, size):
+        c = x[i : i + size]
+        real = c.shape[0]
+        if real < size:
+            c = jnp.concatenate(
+                [c, jnp.zeros((size - real,) + c.shape[1:], c.dtype)], axis=0)
+        yield c, real
+
+
+def _inv_packets(res, spvor, spdiv, spscalar, flags, dtype, fspgl_proc,
+                 npromatr, _normalize):
+    """NPROMATR packet loop: uv pairs then scalars, group-wise reassembly."""
+    nuv = 0 if spvor is None else spvor.shape[0]
+    nsc = 0 if spscalar is None else spscalar.shape[0]
+    parts = {k: [] for k in
+             ("vor", "div", "u", "v", "sc", "nsd", "ewu", "ewv", "ewsc")}
+    if nuv:
+        size = max(1, npromatr // 2)
+        for (cv, real), (cd, _) in zip(_chunk_pad(spvor, size),
+                                       _chunk_pad(spdiv, size)):
+            out = inv_trans(res, cv, cd, None, flags=flags, dtype=dtype,
+                            fspgl_proc=fspgl_proc, _normalize=_normalize)
+            i = 0
+            if flags.vorgp:
+                parts["vor"].append(out[i : i + real]); i += size
+            if flags.divgp:
+                parts["div"].append(out[i : i + real]); i += size
+            parts["u"].append(out[i : i + real]); i += size
+            parts["v"].append(out[i : i + real]); i += size
+            if flags.uvders:
+                parts["ewu"].append(out[i : i + real]); i += size
+                parts["ewv"].append(out[i : i + real]); i += size
+    if nsc:
+        size = max(1, npromatr)
+        for csc, real in _chunk_pad(spscalar, size):
+            out = inv_trans(res, None, None, csc, flags=flags, dtype=dtype,
+                            fspgl_proc=fspgl_proc, _normalize=_normalize)
+            i = 0
+            parts["sc"].append(out[i : i + real]); i += size
+            if flags.scders:
+                parts["nsd"].append(out[i : i + real]); i += size
+                parts["ewsc"].append(out[i : i + real]); i += size
+    order = ("vor", "div", "u", "v", "sc", "nsd", "ewu", "ewv", "ewsc")
+    groups = [jnp.concatenate(parts[k], axis=0) for k in order if parts[k]]
+    return jnp.concatenate(groups, axis=0)
 
 
 def dir_trans(
@@ -220,12 +285,15 @@ def dir_trans(
     scalars=None,
     *,
     dtype=jnp.float32,
+    npromatr: int | None = None,
     _normalize=True,
 ):
     """Direct transform: grid fields -> packed spectral arrays.
 
     u/v: (nfld_uv, ndgl, ndlon) grid winds; scalars: (nfld_sc, ndgl, ndlon).
     Returns (spvor, spdiv, spscalar) packed arrays (None where no input).
+    ``npromatr`` splits huge field sets into memory-bounded packets (see
+    :func:`inv_trans`).
     """
     if (u is None) != (v is None):
         raise ValueError("u and v must be supplied together")
@@ -235,9 +303,28 @@ def dir_trans(
         raise ValueError("nothing to transform: pass u/v and/or scalars")
     for nm, arr in (("u", u), ("v", v), ("scalars", scalars)):
         _check_grid_arg(nm, arr, res)
+    nuv = 0 if u is None else u.shape[0]
+    nsc = 0 if scalars is None else scalars.shape[0]
+    if npromatr and 2 * nuv + nsc > npromatr:
+        sv_p, sd_p, ss_p = [], [], []
+        if nuv:
+            size = max(1, npromatr // 2)
+            for (cu, real), (cv, _) in zip(_chunk_pad(u, size),
+                                           _chunk_pad(v, size)):
+                sv, sd, _ = dir_trans(res, cu, cv, None, dtype=dtype,
+                                      _normalize=_normalize)
+                sv_p.append(sv[:real]); sd_p.append(sd[:real])
+        if nsc:
+            for csc, real in _chunk_pad(scalars, max(1, npromatr)):
+                _, _, ss = dir_trans(res, None, None, csc, dtype=dtype,
+                                     _normalize=_normalize)
+                ss_p.append(ss[:real])
+        return (jnp.concatenate(sv_p) if sv_p else None,
+                jnp.concatenate(sd_p) if sd_p else None,
+                jnp.concatenate(ss_p) if ss_p else None)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
     gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
-    bt = fourier.tables_for(res, dtype)
+    bt = fourier.bucketed_tables_for(res, dtype)
     return _dir_impl(tables, gl, ct, bt, u, v, scalars, _normalize)

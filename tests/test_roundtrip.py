@@ -138,3 +138,62 @@ def test_bfloat16_smoke():
     _, _, s2 = et.dir_trans(res, scalars=g, dtype=jnp.bfloat16)
     err = np.abs(np.asarray(s2, dtype=np.float32) - spec).max()
     assert err < 0.15, err
+
+
+def test_npromatr_packet_split_matches_single_call():
+    """Library-level NPROMATR (inv_trans_ctl_mod.F90:143-276): packeted
+    transforms must reproduce the single-call result and PGP ordering."""
+    import jax.numpy as jnp
+    from ectrans_tpu.transform import InvFlags
+
+    res = et.setup("O48", 47)
+    rng = np.random.default_rng(11)
+    n0 = 2 * (res.nsmax + 1)
+
+    def rp(n):
+        x = rng.standard_normal((n, res.nspec2))
+        x[:, 1:n0:2] = 0.0
+        x[:, 0] = 0.0
+        return jnp.asarray(x)
+
+    vor, div, sc = rp(3), rp(3), rp(5)
+    flags = InvFlags(vorgp=True, scders=True, uvders=True)
+    ref = np.asarray(et.inv_trans(res, vor, div, sc, flags=flags,
+                                  dtype=jnp.float64))
+    got = np.asarray(et.inv_trans(res, vor, div, sc, flags=flags,
+                                  dtype=jnp.float64, npromatr=4))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-11 * np.abs(ref).max()
+
+    # direct
+    u = jnp.asarray(rng.standard_normal((3, res.ndgl, res.grid.ndlon)))
+    vv = jnp.asarray(rng.standard_normal((3, res.ndgl, res.grid.ndlon)))
+    scg = jnp.asarray(rng.standard_normal((5, res.ndgl, res.grid.ndlon)))
+    r = et.dir_trans(res, u, vv, scg, dtype=jnp.float64)
+    g = et.dir_trans(res, u, vv, scg, dtype=jnp.float64, npromatr=4)
+    for a, b in zip(r, g):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-11
+
+
+def test_npromatr_sharded_matches():
+    import jax.numpy as jnp
+    from ectrans_tpu.parallel import ShardedTransform, make_mesh
+    from ectrans_tpu.transform import InvFlags
+
+    res = et.setup("O48", 47)
+    rng = np.random.default_rng(12)
+    n0 = 2 * (res.nsmax + 1)
+
+    def rp(n):
+        x = rng.standard_normal((n, res.nspec2))
+        x[:, 1:n0:2] = 0.0
+        x[:, 0] = 0.0
+        return jnp.asarray(x)
+
+    vor, div, sc = rp(2), rp(2), rp(3)
+    flags = InvFlags(scders=True, uvders=True)
+    st = ShardedTransform(res, make_mesh(2, 2), dtype=jnp.float64)
+    ref = np.asarray(st.inv_trans(vor, div, sc, flags))
+    got = np.asarray(st.inv_trans(vor, div, sc, flags, npromatr=3))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-11 * np.abs(ref).max()

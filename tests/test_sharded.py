@@ -83,3 +83,57 @@ def test_sharded_roundtrip_fp32():
     assert np.abs(np.asarray(sv) - vor).max() < 2e-5
     assert np.abs(np.asarray(sd) - div).max() < 2e-5
     assert np.abs(np.asarray(ss) - sc).max() < 2e-5
+
+
+FLAG_CASES = [
+    # (nuv, nsc, flags) — exercise every group-permutation branch
+    (2, 0, et.InvFlags()),                          # uv only, no flags
+    (0, 3, et.InvFlags()),                          # scalars only
+    (0, 3, et.InvFlags(scders=True)),               # scalars + derivatives
+    (2, 0, et.InvFlags(vorgp=True)),                # uv + vorgp
+    (2, 0, et.InvFlags(divgp=True, uvders=True)),   # uv + divgp + uvders
+    (1, 1, et.InvFlags(uvders=True)),               # odd counts, uv ders
+    (3, 2, et.InvFlags(scders=True)),               # odd uv, sc ders
+]
+
+
+@pytest.mark.parametrize("nuv,nsc,flags", FLAG_CASES)
+def test_inv_flag_matrix_sharded(nuv, nsc, flags):
+    """Sharded == single-device for every flag family and uv/sc-only cases
+    (the group-major/owner-major permutation logic per field group)."""
+    res = et.setup("O48", 47)
+    vor, div, sc = _random_state(res, max(nuv, 1), max(nsc, 1), seed=3)
+    kw = {}
+    skw = {}
+    if nuv:
+        kw = dict(spvor=jnp.asarray(vor[:nuv]), spdiv=jnp.asarray(div[:nuv]))
+    if nsc:
+        kw["spscalar"] = jnp.asarray(sc[:nsc])
+    ref = np.asarray(et.inv_trans(res, flags=flags, dtype=jnp.float64, **kw))
+    st = ShardedTransform(res, make_mesh(4, 2), dtype=jnp.float64)
+    got = np.asarray(st.inv_trans(flags=flags, **kw))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-12, f"flags={flags} nuv={nuv} nsc={nsc}: {err}"
+
+
+@pytest.mark.parametrize("nuv,nsc", [(2, 0), (0, 3), (1, 1), (3, 2)])
+def test_dir_field_matrix_sharded(nuv, nsc):
+    """Sharded dir_trans == single-device for uv-only / sc-only / odd counts."""
+    res = et.setup("O48", 47)
+    rng = np.random.default_rng(7)
+    kw = {}
+    if nuv:
+        kw["u"] = jnp.asarray(rng.standard_normal((nuv, res.ndgl, res.grid.ndlon)))
+        kw["v"] = jnp.asarray(rng.standard_normal((nuv, res.ndgl, res.grid.ndlon)))
+    if nsc:
+        kw["scalars"] = jnp.asarray(
+            rng.standard_normal((nsc, res.ndgl, res.grid.ndlon)))
+    ref = et.dir_trans(res, dtype=jnp.float64, **kw)
+    st = ShardedTransform(res, make_mesh(2, 4), dtype=jnp.float64)
+    got = st.dir_trans(**kw)
+    for name, r, g in zip(("vor", "div", "sc"), ref, got):
+        assert (r is None) == (g is None), name
+        if r is not None:
+            err = np.abs(np.asarray(g) - np.asarray(r)).max() / np.abs(np.asarray(r)).max()
+            assert err < 1e-12, f"{name} nuv={nuv} nsc={nsc}: {err}"
