@@ -53,18 +53,21 @@ class SpectralTransform:
 
     # -- transforms -----------------------------------------------------
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
-                  flags: InvFlags = InvFlags(), **kw):
+                  flags: InvFlags = InvFlags(), npromatr=None, **kw):
         flags = InvFlags(**kw) if kw else flags
         if self._sharded is not None:
-            return self._sharded.inv_trans(spvor, spdiv, spscalar, flags=flags)
+            return self._sharded.inv_trans(spvor, spdiv, spscalar, flags=flags,
+                                           npromatr=npromatr)
         return transform.inv_trans(
-            self.res, spvor, spdiv, spscalar, flags=flags, dtype=self.dtype
+            self.res, spvor, spdiv, spscalar, flags=flags, dtype=self.dtype,
+            npromatr=npromatr,
         )
 
-    def dir_trans(self, u=None, v=None, scalars=None):
+    def dir_trans(self, u=None, v=None, scalars=None, npromatr=None):
         if self._sharded is not None:
             return self._sharded.dir_trans(u, v, scalars)
-        return transform.dir_trans(self.res, u, v, scalars, dtype=self.dtype)
+        return transform.dir_trans(self.res, u, v, scalars, dtype=self.dtype,
+                                   npromatr=npromatr)
 
     def inv_trans_adj(self, grid_ad, nfld_uv=0, nfld_sc=0,
                       flags: InvFlags = InvFlags()):
@@ -173,6 +176,41 @@ class SpectralTransform:
             "latitudes_deg": g.latitudes_deg(),
             "nump": res.M,
             "myms": np.arange(res.M),
+            **self._inquire_distributed(),
+        }
+
+    def _inquire_distributed(self) -> dict:
+        """Distributed-layout keys of TRANS_INQ (``trans_inq.F90``: NPRTRW/
+        NPRTRV echo, per-w-set NUMPP/MYMS/NSPEC2, NGPTOTMX) when a mesh is
+        attached; empty otherwise."""
+        if self._sharded is None:
+            return {}
+        st = self._sharded
+        d = st.dist
+        res = self.res
+        ML = d.ML
+        myms = []
+        numpp = []
+        nspec2_w = []
+        for s in range(d.w):
+            ms = sorted(int(m) for m in d.perm[s * ML : (s + 1) * ML]
+                        if m < res.M)
+            myms.append(np.asarray(ms))
+            numpp.append(len(ms))
+            nspec2_w.append(int(sum(2 * (res.nsmax - m + 1) for m in ms)))
+        LL = d.LL
+        ngptot_shard = max(
+            sum(res.grid.nloen[l] for l in range(i0, min(i0 + LL, res.ndgl)))
+            for i0 in range(0, d.ndgl_pad, LL)
+        )
+        return {
+            "nprtrw": d.w,
+            "nprtrv": d.v,
+            "numpp": np.asarray(numpp),
+            "myms_w": tuple(myms),
+            "nspec2_w": np.asarray(nspec2_w),
+            "ngptotmx": ngptot_shard,
+            "nultpp": np.asarray([LL] * d.w),
         }
 
     def release(self):

@@ -108,6 +108,34 @@ class ShardedTransform:
         )
 
     @staticmethod
+    def _kvset_slots(kvset, v: int):
+        """KVSETUV/KVSETSC equivalent (``inv_trans.F90:43-55``): per-field
+        v-shard assignment -> shard-major padded slot layout.
+
+        Returns (slots, maxc): slots[j] = original field index at padded
+        slot j (shard s owns slots [s*maxc, (s+1)*maxc); -1 = padding).
+        In this single-controller design the caller passes global arrays
+        and the vector controls which "v" shard computes each field (load
+        balance / ownership), the role KVSET plays in the reference.
+        """
+        kvset = [int(x) for x in kvset]
+        if any(x < 0 or x >= v for x in kvset):
+            raise ValueError(f"kvset entries must be in [0, {v})")
+        counts = [kvset.count(s) for s in range(v)]
+        maxc = max(counts) if counts else 0
+        slots = []
+        for s in range(v):
+            idx = [i for i, x in enumerate(kvset) if x == s]
+            slots.extend(idx + [-1] * (maxc - len(idx)))
+        return np.asarray(slots, dtype=np.int64), maxc
+
+    @staticmethod
+    def _kvset_place(x, slots):
+        """(nfld, ...) -> (len(slots), ...) padded shard-major placement."""
+        xz = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], 0)
+        return xz[jnp.asarray(np.where(slots < 0, x.shape[0], slots))]
+
+    @staticmethod
     def _group_perms(group_sizes: list[int], v: int):
         """Owner-major <-> group-major field permutations for TRLTOG/TRGTOL."""
         om = []
@@ -351,8 +379,63 @@ class ShardedTransform:
             x = jnp.concatenate([x, jnp.zeros((npad,) + x.shape[1:], x.dtype)], 0)
         return x.astype(self.dtype), n
 
+    def _default_kvset(self, n):
+        """Block assignment matching _pad_fields' P('v') split."""
+        c = max(1, -(-n // self.v))
+        return [min(i // c, self.v - 1) for i in range(n)]
+
+    def _inv_kvset(self, spvor, spdiv, spsc, flags, kvsetuv, kvsetsc):
+        """inv_trans with caller-controlled field->v-shard ownership."""
+        nuv = 0 if spvor is None else spvor.shape[0]
+        nsc = 0 if spsc is None else spsc.shape[0]
+        if kvsetuv is not None and len(kvsetuv) != nuv:
+            raise ValueError(f"kvsetuv must have {nuv} entries")
+        if kvsetsc is not None and len(kvsetsc) != nsc:
+            raise ValueError(f"kvsetsc must have {nsc} entries")
+        slots_uv = pos_uv = slots_sc = pos_sc = None
+        pv = pd = psc = None
+        if nuv:
+            slots_uv, _ = self._kvset_slots(
+                kvsetuv if kvsetuv is not None else self._default_kvset(nuv),
+                self.v)
+            pos_uv = {int(f): j for j, f in enumerate(slots_uv) if f >= 0}
+            pv = self._kvset_place(jnp.asarray(spvor, self.dtype), slots_uv)
+            pd = self._kvset_place(jnp.asarray(spdiv, self.dtype), slots_uv)
+        if nsc:
+            slots_sc, _ = self._kvset_slots(
+                kvsetsc if kvsetsc is not None else self._default_kvset(nsc),
+                self.v)
+            pos_sc = {int(f): j for j, f in enumerate(slots_sc) if f >= 0}
+            psc = self._kvset_place(jnp.asarray(spsc, self.dtype), slots_sc)
+        key = (pv is not None, psc is not None,
+               0 if pv is None else pv.shape[0],
+               0 if psc is None else psc.shape[0], flags)
+        if key not in self._inv_jit:
+            self._inv_jit[key] = self._build_inv(flags)
+        grid = self._inv_jit[key](pv, pd, psc)
+        # un-permute padded group-major output to the original field order
+        sel = []
+        off = 0
+
+        def take(slots, pos, n):
+            nonlocal off
+            sel.extend(off + pos[i] for i in range(n))
+            off += len(slots)
+
+        if nuv and flags.vorgp: take(slots_uv, pos_uv, nuv)
+        if nuv and flags.divgp: take(slots_uv, pos_uv, nuv)
+        if nuv:
+            take(slots_uv, pos_uv, nuv); take(slots_uv, pos_uv, nuv)
+        if nsc: take(slots_sc, pos_sc, nsc)
+        if nsc and flags.scders: take(slots_sc, pos_sc, nsc)
+        if nuv and flags.uvders:
+            take(slots_uv, pos_uv, nuv); take(slots_uv, pos_uv, nuv)
+        if nsc and flags.scders: take(slots_sc, pos_sc, nsc)
+        return grid[np.asarray(sel)]
+
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
-                  flags: InvFlags = InvFlags(), npromatr: int | None = None):
+                  flags: InvFlags = InvFlags(), npromatr: int | None = None,
+                  kvsetuv=None, kvsetsc=None):
         """Distributed inverse transform.
 
         Inputs: global packed spectral arrays; output: global grid
@@ -370,6 +453,9 @@ class ShardedTransform:
         for nm, arr in (("spvor", spvor), ("spdiv", spdiv),
                         ("spscalar", spscalar)):
             _check_spec(nm, arr, self.res)
+        if kvsetuv is not None or kvsetsc is not None:
+            return self._inv_kvset(spvor, spdiv, spscalar, flags,
+                                   kvsetuv, kvsetsc)
         nuv0 = 0 if spvor is None else spvor.shape[0]
         nsc0 = 0 if spscalar is None else spscalar.shape[0]
         if npromatr and 2 * nuv0 + nsc0 > npromatr:
@@ -461,8 +547,14 @@ class ShardedTransform:
         return grid[np.asarray(sel)]
 
     # ------------------------------------------------------------------
-    def dir_trans(self, u=None, v=None, scalars=None):
-        """Distributed direct transform: grid -> packed spectral arrays."""
+    def dir_trans(self, u=None, v=None, scalars=None,
+                  kvsetuv=None, kvsetsc=None):
+        """Distributed direct transform: grid -> packed spectral arrays.
+
+        kvsetuv/kvsetsc: optional per-field v-shard ownership vectors
+        (reference KVSETUV/KVSETSC) controlling which shard computes each
+        field; outputs come back in the caller's field order.
+        """
         if (u is None) != (v is None):
             raise ValueError("u and v must be supplied together")
         if u is not None and u.shape != v.shape:
@@ -471,6 +563,8 @@ class ShardedTransform:
             raise ValueError("nothing to transform: pass u/v and/or scalars")
         for nm, arr in (("u", u), ("v", v), ("scalars", scalars)):
             _check_grid_arg(nm, arr, self.res)
+        if kvsetuv is not None or kvsetsc is not None:
+            return self._dir_kvset(u, v, scalars, kvsetuv, kvsetsc)
         u, nuv = self._pad_fields(u)
         v, _ = self._pad_fields(v)
         sc, nsc = self._pad_fields(scalars)
@@ -484,6 +578,41 @@ class ShardedTransform:
         spdiv = spdiv[:nuv] if nuv else None
         spsc = spsc[:nsc] if nsc else None
         return spvor, spdiv, spsc
+
+    def _dir_kvset(self, u, v, sc, kvsetuv, kvsetsc):
+        """dir_trans with caller-controlled field->v-shard ownership."""
+        nuv = 0 if u is None else u.shape[0]
+        nsc = 0 if sc is None else sc.shape[0]
+        if kvsetuv is not None and len(kvsetuv) != nuv:
+            raise ValueError(f"kvsetuv must have {nuv} entries")
+        if kvsetsc is not None and len(kvsetsc) != nsc:
+            raise ValueError(f"kvsetsc must have {nsc} entries")
+        pu = pv = psc = None
+        pos_uv = pos_sc = None
+        if nuv:
+            slots_uv, _ = self._kvset_slots(
+                kvsetuv if kvsetuv is not None else self._default_kvset(nuv),
+                self.v)
+            pos_uv = np.asarray(
+                [int(np.where(slots_uv == i)[0][0]) for i in range(nuv)])
+            pu = self._kvset_place(jnp.asarray(u, self.dtype), slots_uv)
+            pv = self._kvset_place(jnp.asarray(v, self.dtype), slots_uv)
+        if nsc:
+            slots_sc, _ = self._kvset_slots(
+                kvsetsc if kvsetsc is not None else self._default_kvset(nsc),
+                self.v)
+            pos_sc = np.asarray(
+                [int(np.where(slots_sc == i)[0][0]) for i in range(nsc)])
+            psc = self._kvset_place(jnp.asarray(sc, self.dtype), slots_sc)
+        Fuv_g = 0 if pu is None else pu.shape[0]
+        Fsc_g = 0 if psc is None else psc.shape[0]
+        key = (Fuv_g, Fsc_g)
+        if key not in self._dir_jit:
+            self._dir_jit[key] = self._build_dir(Fuv_g, Fsc_g)
+        spvor, spdiv, spsc = self._dir_jit[key](pu, pv, psc)
+        return (spvor[pos_uv] if nuv else None,
+                spdiv[pos_uv] if nuv else None,
+                spsc[pos_sc] if nsc else None)
 
     def _build_dir(self, Fuv_g, Fsc_g):
         specs_t = {k: self.table_specs[k] for k in self.tables}

@@ -137,3 +137,57 @@ def test_dir_field_matrix_sharded(nuv, nsc):
         if r is not None:
             err = np.abs(np.asarray(g) - np.asarray(r)).max() / np.abs(np.asarray(r)).max()
             assert err < 1e-12, f"{name} nuv={nuv} nsc={nsc}: {err}"
+
+
+def test_kvset_field_ownership():
+    """KVSETUV/KVSETSC-style caller-controlled field->v-shard ownership
+    (``inv_trans.F90:43-55``): arbitrary (unbalanced, scrambled) ownership
+    vectors must reproduce the default layout's results in caller order."""
+    res = et.setup("O48", 47)
+    vor, div, sc = _random_state(res, 3, 5, seed=21)
+    flags = et.InvFlags(scders=True, uvders=True)
+    st = ShardedTransform(res, make_mesh(2, 4), dtype=jnp.float64)
+    ref = np.asarray(st.inv_trans(jnp.asarray(vor), jnp.asarray(div),
+                                  jnp.asarray(sc), flags))
+    got = np.asarray(st.inv_trans(
+        jnp.asarray(vor), jnp.asarray(div), jnp.asarray(sc), flags,
+        kvsetuv=[3, 0, 3], kvsetsc=[2, 2, 2, 0, 1]))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-12, err
+
+    # direct with ownership vectors: round-trips the same spectra
+    u, vv = ref[0:3], ref[3:6]
+    s = ref[6:11]
+    sv_r, sd_r, ss_r = st.dir_trans(jnp.asarray(u), jnp.asarray(vv),
+                                    jnp.asarray(s))
+    sv, sd, ss = st.dir_trans(jnp.asarray(u), jnp.asarray(vv), jnp.asarray(s),
+                              kvsetuv=[1, 2, 0], kvsetsc=[0, 3, 1, 1, 2])
+    for a, b in ((sv, sv_r), (sd, sd_r), (ss, ss_r)):
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert err < 1e-12, err
+
+
+def test_dist_gath_roundtrip_through_transform():
+    """DIST_SPEC -> sharded transform -> GATH_GRID vs the host path
+    (the owner-scatter/gather cycle of dist_grid_ctl_mod.F90:186-215)."""
+    from ectrans_tpu.api import SpectralTransform
+
+    res = et.setup("O48", 47)
+    vor, div, sc = _random_state(res, 2, 2, seed=22)
+    h = SpectralTransform("O48", 47, mesh=make_mesh(4, 2), dtype=jnp.float64)
+    # host reference
+    ref = np.asarray(et.inv_trans(res, spvor=jnp.asarray(vor),
+                                  spdiv=jnp.asarray(div),
+                                  spscalar=jnp.asarray(sc),
+                                  dtype=jnp.float64))
+    dv = h.dist_spec(vor)
+    dd = h.dist_spec(div)
+    ds = h.dist_spec(sc)
+    grid = h.inv_trans(spvor=dv, spdiv=dd, spscalar=ds)
+    gathered = h.gath_grid(grid)
+    assert np.abs(gathered - ref).max() / np.abs(ref).max() < 1e-12
+    # and the reverse cycle: dist_grid -> dir_trans -> gath_spec
+    gd = h.dist_grid(gathered)
+    sv, sd, ss = h.dir_trans(u=gd[0:2], v=gd[2:4], scalars=gd[4:6])
+    assert np.abs(h.gath_spec(ss) - sc).max() < 1e-8
