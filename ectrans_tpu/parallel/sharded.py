@@ -239,7 +239,8 @@ class ShardedTransform:
             parts.append(dg[..., :NP])
         return jnp.concatenate(parts, axis=2)
 
-    def _inv_kernel(self, spvor, spdiv, spsc, t, flags: InvFlags):
+    def _inv_kernel(self, spvor, spdiv, spsc, t, flags: InvFlags,
+                    fspgl_proc=None):
         res, dist = self.res, self.dist
         Fuv = spvor.shape[0]
         Fsc = spsc.shape[0]
@@ -305,6 +306,11 @@ class ShardedTransform:
         if Fsc and flags.scders:
             out.append(ew(scf))
         four2 = jnp.concatenate(out, axis=0)
+        if fspgl_proc is not None:
+            # FSPGL hook on the distributed path (fspgl_int_mod.F90): the
+            # callback sees this shard's latitude rows with the full m
+            # range — the same per-latitude semantics as the reference.
+            four2 = fspgl_proc(four2)
 
         # --- Fourier synthesis on local latitudes ---
         grid = synthesis(four2, self._local_bt(t))  # (F2, LL, ndlon)
@@ -435,7 +441,7 @@ class ShardedTransform:
 
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
                   flags: InvFlags = InvFlags(), npromatr: int | None = None,
-                  kvsetuv=None, kvsetsc=None):
+                  kvsetuv=None, kvsetsc=None, fspgl_proc=None):
         """Distributed inverse transform.
 
         Inputs: global packed spectral arrays; output: global grid
@@ -494,17 +500,18 @@ class ShardedTransform:
         spsc, nsc = self._pad_fields(spscalar)
         key = (spvor is not None, spsc is not None,
                0 if spvor is None else spvor.shape[0],
-               0 if spsc is None else spsc.shape[0], flags)
+               0 if spsc is None else spsc.shape[0], flags, fspgl_proc)
         if key not in self._inv_jit:
-            self._inv_jit[key] = self._build_inv(flags)
+            self._inv_jit[key] = self._build_inv(flags, fspgl_proc)
         grid = self._inv_jit[key](spvor, spdiv, spsc)
         return self._strip_fields(grid, nuv, nsc, flags)
 
-    def _build_inv(self, flags):
+    def _build_inv(self, flags, fspgl_proc=None):
         specs_t = {k: self.table_specs[k] for k in self.tables}
 
         def fn(spvor, spdiv, spsc):
-            kernel = functools.partial(self._inv_kernel, flags=flags)
+            kernel = functools.partial(self._inv_kernel, flags=flags,
+                                       fspgl_proc=fspgl_proc)
             sm = jax.shard_map(
                 lambda a, b, c, t: kernel(a, b, c, t),
                 mesh=self.mesh,
