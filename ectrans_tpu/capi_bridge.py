@@ -168,3 +168,180 @@ def specnorm(handle: int, nfld: int, spec_ptr: int, norm_ptr: int):
 def release(handle: int):
     _RESOLUTIONS.pop(handle, None)
     return 0
+
+
+def _wrap_f(ptr: int, n: int) -> np.ndarray:
+    buf = (ctypes.c_float * n).from_address(int(ptr))
+    return np.ctypeslib.as_array(buf)
+
+
+def set_legpol_dir(path: str):
+    """trans_set_cache/read/write equivalent (transi.h:192-194): directory
+    for the on-disk Legendre-table cache ('' disables)."""
+    os.environ["ECTRANS_TPU_LEGPOL_DIR"] = path
+    return 0
+
+
+def vordiv_to_uv(handle: int, nfld: int, vor_ptr: int, div_ptr: int,
+                 u_ptr: int, v_ptr: int):
+    """Standalone spectral vor/div -> spectral U,V (trans_vordiv_to_UV,
+    transi.h:648)."""
+    from .api import vordiv_to_uv as _vd2uv
+
+    res = _res(handle)
+    spvor = _wrap(vor_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    spdiv = _wrap(div_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    u, v = _vd2uv(res, jnp.asarray(spvor), jnp.asarray(spdiv), dtype=_JDT)
+    _wrap(u_ptr, nfld * res.nspec2)[:] = np.asarray(u).ravel()
+    _wrap(v_ptr, nfld * res.nspec2)[:] = np.asarray(v).ravel()
+    return 0
+
+
+def gpnorm(handle: int, nfld: int, gp_ptr: int, out_ptr: int):
+    """Grid-point norms (GPNORM_TRANS): out (nfld, 3) = [ave, min, max]
+    with the reference's area weights."""
+    from .norms import gpnorm as _gpnorm
+
+    res = _res(handle)
+    gp = _wrap(gp_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    fields = np.stack(
+        [_unpack_reduced(gp[f], res.grid.nloen, res.grid.ndlon)
+         for f in range(nfld)]
+    )
+    ave, mn, mx = _gpnorm(res, jnp.asarray(fields))
+    out = _wrap(out_ptr, nfld * 3).reshape(nfld, 3)
+    out[:, 0] = np.asarray(ave)
+    out[:, 1] = np.asarray(mn)
+    out[:, 2] = np.asarray(mx)
+    return 0
+
+
+def invtrans_lonlat(handle: int, nlat: int, nlon: int, nfld: int,
+                    spec_ptr: int, gp_ptr: int):
+    """Inverse transform onto a regular lat-lon grid (the LDLL /
+    trans_set_resol_lonlat mode, transi.h:869): gp is (nfld, nlat, nlon)
+    row-major."""
+    from .latlon import LatLonGrid, inv_trans_latlon
+
+    res = _res(handle)
+    spec = _wrap(spec_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    ll = LatLonGrid(nlat=nlat, nlon=nlon)
+    out = np.asarray(
+        inv_trans_latlon(res, ll, spscalar=jnp.asarray(spec), dtype=_JDT))
+    _wrap(gp_ptr, nfld * nlat * nlon)[:] = out.ravel()
+    return 0
+
+
+# --- distribution (single-controller: transi with TRANS_USE_MPI=0 performs
+# plain copies; dist/gath here are the same owner-view copies,
+# transi.h:520-616) ---
+
+def distgrid(handle: int, nfld: int, glob_ptr: int, loc_ptr: int):
+    res = _res(handle)
+    n = nfld * res.grid.ngptot
+    _wrap(loc_ptr, n)[:] = _wrap(glob_ptr, n)
+    return 0
+
+
+def gathgrid(handle: int, nfld: int, loc_ptr: int, glob_ptr: int):
+    res = _res(handle)
+    n = nfld * res.grid.ngptot
+    _wrap(glob_ptr, n)[:] = _wrap(loc_ptr, n)
+    return 0
+
+
+def distspec(handle: int, nfld: int, glob_ptr: int, loc_ptr: int):
+    res = _res(handle)
+    n = nfld * res.nspec2
+    _wrap(loc_ptr, n)[:] = _wrap(glob_ptr, n)
+    return 0
+
+
+def gathspec(handle: int, nfld: int, loc_ptr: int, glob_ptr: int):
+    res = _res(handle)
+    n = nfld * res.nspec2
+    _wrap(glob_ptr, n)[:] = _wrap(loc_ptr, n)
+    return 0
+
+
+# --- single-precision entry points (the reference's trans_sp build /
+# DIST_GRID_32 family) ---
+
+def invtrans_scalar_f(handle: int, nfld: int, spec_ptr: int, gp_ptr: int):
+    res = _res(handle)
+    spec = _wrap_f(spec_ptr, nfld * res.nspec2).reshape(nfld, res.nspec2)
+    out = np.asarray(
+        inv_trans(res, spscalar=jnp.asarray(spec, dtype=jnp.float32),
+                  dtype=jnp.float32))
+    gp = _wrap_f(gp_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    for f in range(nfld):
+        gp[f] = _pack_reduced(out[f], res.grid.nloen)
+    return 0
+
+
+def dirtrans_scalar_f(handle: int, nfld: int, gp_ptr: int, spec_ptr: int):
+    res = _res(handle)
+    gp = _wrap_f(gp_ptr, nfld * res.grid.ngptot).reshape(nfld, -1)
+    fields = np.stack(
+        [_unpack_reduced(gp[f].astype(np.float64), res.grid.nloen,
+                         res.grid.ndlon)
+         for f in range(nfld)]
+    )
+    _, _, spec = dir_trans(res, scalars=jnp.asarray(fields, dtype=jnp.float32),
+                           dtype=jnp.float32)
+    _wrap_f(spec_ptr, nfld * res.nspec2)[:] = np.asarray(spec).ravel()
+    return 0
+
+
+# --- LAM (etrans) surface: ectrans_tpu_setup_lam + transforms ---
+
+_LAM = {}
+
+
+def setup_lam(nx: int, ny: int, nxux: int, nyux: int, msmax: int, nsmax: int,
+              dx: float, dy: float) -> int:
+    from .lam import make_lam_grid, setup_lam as _setup_lam
+
+    lres = _setup_lam(make_lam_grid(
+        nx, ny, nxux=nxux, nyux=nyux,
+        msmax=msmax if msmax >= 0 else None,
+        nsmax=nsmax if nsmax >= 0 else None, dx=dx, dy=dy))
+    h = _NEXT[0]
+    _NEXT[0] += 1
+    _LAM[h] = lres
+    return h
+
+
+def inquire_lam(handle: int):
+    lres = _LAM[handle]
+    g = lres.grid
+    return (int(lres.nspec2), int(g.nx * g.ny), int(g.nx), int(g.ny))
+
+
+def invtrans_lam_scalar(handle: int, nfld: int, spec_ptr: int, gp_ptr: int):
+    from .lam import inv_trans_lam
+
+    lres = _LAM[handle]
+    g = lres.grid
+    spec = _wrap(spec_ptr, nfld * lres.nspec2).reshape(nfld, lres.nspec2)
+    out = np.asarray(
+        inv_trans_lam(lres, spscalar=jnp.asarray(spec), dtype=_JDT))
+    _wrap(gp_ptr, nfld * g.ny * g.nx)[:] = out.ravel()
+    return 0
+
+
+def dirtrans_lam_scalar(handle: int, nfld: int, gp_ptr: int, spec_ptr: int):
+    from .lam import dir_trans_lam
+
+    lres = _LAM[handle]
+    g = lres.grid
+    gp = _wrap(gp_ptr, nfld * g.ny * g.nx).reshape(nfld, g.ny, g.nx)
+    out = dir_trans_lam(lres, scalars=jnp.asarray(gp), dtype=_JDT)
+    spsc = out[2]
+    _wrap(spec_ptr, nfld * lres.nspec2)[:] = np.asarray(spsc).ravel()
+    return 0
+
+
+def release_lam(handle: int):
+    _LAM.pop(handle, None)
+    return 0

@@ -524,6 +524,12 @@ def synthesis(fourier, bt: BluesteinTables, normalize: bool = True):
     wr = jnp.concatenate([wr_neg, wr_pos], axis=-1)        # (P2, ndgl, 2M-1)
     wi = jnp.concatenate([wi_neg, wi_pos], axis=-1)
     ar, ai = _cmul(wr, wi, bt.syn_in_r[None], bt.syn_in_i[None])
+    # materialise the Hermitian pack before the conv matmuls: fusing the
+    # reversed-m slice into the FFT matmuls miscompiles on the axon TPU
+    # backend at some (nfld, nfft) shapes (silently wrong results)
+    import jax as _jax
+
+    ar, ai = _jax.lax.optimization_barrier((ar, ai))
     vr, vi = _chunked_conv(ar, ai, bt.syn_bh_r[None], bt.syn_bh_i[None],
                            out_len=bt.ndlon)
     vr, vi = vr[..., : bt.ndlon], vi[..., : bt.ndlon]
@@ -558,6 +564,11 @@ def analysis(grid, bt: BluesteinTables, M: int, normalize: bool = True):
     vr, vi = _chunked_conv(sr, si, bt.ana_bh_r[None], bt.ana_bh_i[None],
                            out_len=2 * mmax + 1)
     vr, vi = vr[..., : 2 * mmax + 1], vi[..., : 2 * mmax + 1]
+    # materialise before the reversed-slot unpack (axon fusion miscompile
+    # guard — see synthesis)
+    import jax as _jax
+
+    vr, vi = _jax.lax.optimization_barrier((vr, vi))
     zr, zi = _cmul(vr, vi, bt.ana_out_r[None], bt.ana_out_i[None])
     zp_r, zp_i = zr[..., mmax : mmax + M], zi[..., mmax : mmax + M]
     zn_r = zr[..., mmax::-1][..., :M]

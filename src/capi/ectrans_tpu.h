@@ -76,6 +76,63 @@ int ectrans_tpu_dirtrans_adj(int handle, int nfld, const double *spec_ad,
 int ectrans_tpu_specnorm(int handle, int nfld, const double *spec,
                          double *norms);
 
+/* Spectral vor/div -> spectral U,V winds, no grid transform
+ * (trans_vordiv_to_UV, transi.h:648). */
+int ectrans_tpu_vordiv_to_uv(int handle, int nfld, const double *spvor,
+                             const double *spdiv, double *u, double *v);
+
+/* Grid-point norms: gp (nfld, ngptot) -> out (nfld, 3) = [ave, min, max]
+ * with the reference's area weights (GPNORM_TRANS). */
+int ectrans_tpu_gpnorm(int handle, int nfld, const double *gp, double *out);
+
+/* Inverse transform onto a regular lat-lon grid (the LDLL /
+ * trans_set_resol_lonlat mode, transi.h:869): gp (nfld, nlat, nlon). */
+int ectrans_tpu_invtrans_lonlat(int handle, int nlat, int nlon, int nfld,
+                                const double *spec, double *gp);
+
+/* Distribution (trans_distgrid/gathgrid/distspec/gathspec,
+ * transi.h:520-616).  Single-controller semantics: the owner view is the
+ * global array (transi with TRANS_USE_MPI=0 behaves the same way). */
+int ectrans_tpu_distgrid(int handle, int nfld, const double *global_gp,
+                         double *local_gp);
+int ectrans_tpu_gathgrid(int handle, int nfld, const double *local_gp,
+                         double *global_gp);
+int ectrans_tpu_distspec(int handle, int nfld, const double *global_sp,
+                         double *local_sp);
+int ectrans_tpu_gathspec(int handle, int nfld, const double *local_sp,
+                         double *global_sp);
+
+/* Single-precision scalar transforms (the reference trans_sp build /
+ * the _32 API family). */
+int ectrans_tpu_invtrans_f(int handle, int nfld, const float *spec,
+                           float *gp);
+int ectrans_tpu_dirtrans_f(int handle, int nfld, const float *gp,
+                           float *spec);
+
+/* Legendre-table disk cache directory (trans_set_cache/read/write,
+ * transi.h:192-194); "" disables caching. */
+int ectrans_tpu_set_legpol_dir(const char *path);
+
+/* --- LAM (etrans) surface: bi-Fourier limited-area transforms --- */
+
+/* Set up a LAM resolution: nx x ny extended domain, nxux x nyux C+I zone,
+ * elliptic truncation msmax/nsmax (-1 = linear default), grid spacings.
+ * Returns a LAM handle.  (the ESETUP_TRANS / trans_set_resol_lam role) */
+int ectrans_tpu_setup_lam(int nx, int ny, int nxux, int nyux, int msmax,
+                          int nsmax, double dx, double dy);
+
+/* LAM inquiry: spectral size, gridpoint count, nx, ny. */
+int ectrans_tpu_inquire_lam(int handle, int *nspec2, int *ngptot, int *nx,
+                            int *ny);
+
+/* LAM scalar transforms: spec (nfld, nspec2) <-> gp (nfld, ny, nx). */
+int ectrans_tpu_invtrans_lam(int handle, int nfld, const double *spec,
+                             double *gp);
+int ectrans_tpu_dirtrans_lam(int handle, int nfld, const double *gp,
+                             double *spec);
+
+int ectrans_tpu_release_lam(int handle);
+
 /* Release one resolution (trans_delete) / shut the interpreter down
  * (trans_finalize). */
 int ectrans_tpu_release(int handle);

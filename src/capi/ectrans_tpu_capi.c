@@ -8,6 +8,12 @@
  * the bridge wraps them zero-copy with numpy.ctypeslib and launches the
  * jitted TPU pipelines.
  *
+ * GIL: when this library initializes the interpreter itself, the
+ * initializing thread keeps the GIL (single-threaded embedding).  When a
+ * host application pre-initialized Python, every entry point takes
+ * PyGILState_Ensure/Release so calls are safe from any thread even if the
+ * embedder released the GIL.
+ *
  * Build:  cc -shared -fPIC ectrans_tpu_capi.c $(python3-config --includes \
  *         --embed --libs) -o libectrans_tpu.so
  */
@@ -19,6 +25,25 @@
 
 static PyObject *g_bridge = NULL;
 static int g_we_initialized = 0;
+
+typedef struct {
+  int took;
+  PyGILState_STATE st;
+} gil_t;
+
+static gil_t gil_begin(void) {
+  gil_t g;
+  g.took = 0;
+  if (!g_we_initialized && Py_IsInitialized()) {
+    g.st = PyGILState_Ensure();
+    g.took = 1;
+  }
+  return g;
+}
+
+static void gil_end(gil_t g) {
+  if (g.took) PyGILState_Release(g.st);
+}
 
 static int ensure_init(void) {
   if (g_bridge != NULL) return ECTRANS_TPU_SUCCESS;
@@ -43,38 +68,85 @@ static PyObject *bridge_call(const char *name, PyObject *args) {
   return out;
 }
 
-int ectrans_tpu_init(void) { return ensure_init(); }
+/* build args with Py_BuildValue fmt, call, discard result; err on NULL */
+static int call_simple(const char *name, const char *fmt, ...) {
+  gil_t g = gil_begin();
+  if (ensure_init() != 0) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_INIT;
+  }
+  va_list va;
+  va_start(va, fmt);
+  PyObject *args = Py_VaBuildValue(fmt, va);
+  va_end(va);
+  if (args == NULL) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_TRANS;
+  }
+  PyObject *out = bridge_call(name, args);
+  Py_DECREF(args);
+  if (out == NULL) {
+    PyErr_Print();
+    gil_end(g);
+    return ECTRANS_TPU_ERR_TRANS;
+  }
+  Py_DECREF(out);
+  gil_end(g);
+  return ECTRANS_TPU_SUCCESS;
+}
+
+#define PTR(p) ((unsigned long long)(uintptr_t)(p))
+
+int ectrans_tpu_init(void) {
+  gil_t g = gil_begin();
+  int rc = ensure_init();
+  gil_end(g);
+  return rc;
+}
 
 int ectrans_tpu_setup(const char *grid, int nsmax) {
-  if (ensure_init() != 0) return ECTRANS_TPU_ERR_INIT;
+  gil_t g = gil_begin();
+  if (ensure_init() != 0) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_INIT;
+  }
   PyObject *args = Py_BuildValue("(si)", grid, nsmax);
   PyObject *out = bridge_call("setup", args);
   Py_DECREF(args);
   if (out == NULL) {
     PyErr_Print();
+    gil_end(g);
     return ECTRANS_TPU_ERR_SETUP;
   }
   long h = PyLong_AsLong(out);
   Py_DECREF(out);
+  gil_end(g);
   return (int)h;
 }
 
 int ectrans_tpu_inquire(int handle, int *nspec2, int *ngptot, int *ndgl,
                         int *ndlon, int *nsmax) {
-  if (ensure_init() != 0) return ECTRANS_TPU_ERR_INIT;
+  gil_t g = gil_begin();
+  if (ensure_init() != 0) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_INIT;
+  }
   PyObject *args = Py_BuildValue("(i)", handle);
   PyObject *out = bridge_call("inquire", args);
   Py_DECREF(args);
   if (out == NULL) {
     PyErr_Print();
+    gil_end(g);
     return ECTRANS_TPU_ERR_HANDLE;
   }
   long a, b, c, d, e;
   if (!PyArg_ParseTuple(out, "lllll", &a, &b, &c, &d, &e)) {
     Py_DECREF(out);
+    gil_end(g);
     return ECTRANS_TPU_ERR_HANDLE;
   }
   Py_DECREF(out);
+  gil_end(g);
   if (nspec2) *nspec2 = (int)a;
   if (ngptot) *ngptot = (int)b;
   if (ndgl) *ndgl = (int)c;
@@ -84,104 +156,185 @@ int ectrans_tpu_inquire(int handle, int *nspec2, int *ngptot, int *ndgl,
 }
 
 int ectrans_tpu_nloen(int handle, int *nloen) {
-  if (ensure_init() != 0) return ECTRANS_TPU_ERR_INIT;
-  PyObject *args =
-      Py_BuildValue("(iK)", handle, (unsigned long long)(uintptr_t)nloen);
-  PyObject *out = bridge_call("fill_nloen", args);
-  Py_DECREF(args);
-  if (out == NULL) {
-    PyErr_Print();
-    return ECTRANS_TPU_ERR_HANDLE;
-  }
-  Py_DECREF(out);
-  return ECTRANS_TPU_SUCCESS;
-}
-
-static int run2(const char *fn, int handle, int nfld, const double *in1,
-                double *out1) {
-  if (ensure_init() != 0) return ECTRANS_TPU_ERR_INIT;
-  PyObject *args = Py_BuildValue(
-      "(iiKK)", handle, nfld, (unsigned long long)(uintptr_t)in1,
-      (unsigned long long)(uintptr_t)out1);
-  PyObject *out = bridge_call(fn, args);
-  Py_DECREF(args);
-  if (out == NULL) {
-    PyErr_Print();
-    return ECTRANS_TPU_ERR_TRANS;
-  }
-  Py_DECREF(out);
-  return ECTRANS_TPU_SUCCESS;
-}
-
-static int run4(const char *fn, int handle, int nfld, const double *in1,
-                const double *in2, double *out1, double *out2) {
-  if (ensure_init() != 0) return ECTRANS_TPU_ERR_INIT;
-  PyObject *args = Py_BuildValue(
-      "(iiKKKK)", handle, nfld, (unsigned long long)(uintptr_t)in1,
-      (unsigned long long)(uintptr_t)in2, (unsigned long long)(uintptr_t)out1,
-      (unsigned long long)(uintptr_t)out2);
-  PyObject *out = bridge_call(fn, args);
-  Py_DECREF(args);
-  if (out == NULL) {
-    PyErr_Print();
-    return ECTRANS_TPU_ERR_TRANS;
-  }
-  Py_DECREF(out);
-  return ECTRANS_TPU_SUCCESS;
+  return call_simple("fill_nloen", "(iK)", handle, PTR(nloen));
 }
 
 int ectrans_tpu_invtrans(int handle, int nfld, const double *spec,
                          double *gp) {
-  return run2("invtrans_scalar", handle, nfld, spec, gp);
+  return call_simple("invtrans_scalar", "(iiKK)", handle, nfld, PTR(spec),
+                     PTR(gp));
 }
 
 int ectrans_tpu_dirtrans(int handle, int nfld, const double *gp,
                          double *spec) {
-  return run2("dirtrans_scalar", handle, nfld, gp, spec);
+  return call_simple("dirtrans_scalar", "(iiKK)", handle, nfld, PTR(gp),
+                     PTR(spec));
 }
 
 int ectrans_tpu_invtrans_vordiv(int handle, int nfld, const double *spvor,
                                 const double *spdiv, double *u, double *v) {
-  return run4("invtrans_vordiv", handle, nfld, spvor, spdiv, u, v);
+  return call_simple("invtrans_vordiv", "(iiKKKK)", handle, nfld, PTR(spvor),
+                     PTR(spdiv), PTR(u), PTR(v));
 }
 
 int ectrans_tpu_dirtrans_vordiv(int handle, int nfld, const double *u,
                                 const double *v, double *spvor,
                                 double *spdiv) {
-  return run4("dirtrans_vordiv", handle, nfld, u, v, spvor, spdiv);
+  return call_simple("dirtrans_vordiv", "(iiKKKK)", handle, nfld, PTR(u),
+                     PTR(v), PTR(spvor), PTR(spdiv));
 }
 
 int ectrans_tpu_invtrans_adj(int handle, int nfld, const double *gp_ad,
                              double *spec_ad) {
-  return run2("invtrans_adj_scalar", handle, nfld, gp_ad, spec_ad);
+  return call_simple("invtrans_adj_scalar", "(iiKK)", handle, nfld,
+                     PTR(gp_ad), PTR(spec_ad));
 }
 
 int ectrans_tpu_dirtrans_adj(int handle, int nfld, const double *spec_ad,
                              double *gp_ad) {
-  return run2("dirtrans_adj_scalar", handle, nfld, spec_ad, gp_ad);
+  return call_simple("dirtrans_adj_scalar", "(iiKK)", handle, nfld,
+                     PTR(spec_ad), PTR(gp_ad));
 }
 
 int ectrans_tpu_specnorm(int handle, int nfld, const double *spec,
                          double *norms) {
-  return run2("specnorm", handle, nfld, spec, norms);
+  return call_simple("specnorm", "(iiKK)", handle, nfld, PTR(spec),
+                     PTR(norms));
 }
 
-int ectrans_tpu_release(int handle) {
-  if (ensure_init() != 0) return ECTRANS_TPU_ERR_INIT;
-  PyObject *args = Py_BuildValue("(i)", handle);
-  PyObject *out = bridge_call("release", args);
+int ectrans_tpu_vordiv_to_uv(int handle, int nfld, const double *spvor,
+                             const double *spdiv, double *u, double *v) {
+  return call_simple("vordiv_to_uv", "(iiKKKK)", handle, nfld, PTR(spvor),
+                     PTR(spdiv), PTR(u), PTR(v));
+}
+
+int ectrans_tpu_gpnorm(int handle, int nfld, const double *gp, double *out) {
+  return call_simple("gpnorm", "(iiKK)", handle, nfld, PTR(gp), PTR(out));
+}
+
+int ectrans_tpu_invtrans_lonlat(int handle, int nlat, int nlon, int nfld,
+                                const double *spec, double *gp) {
+  return call_simple("invtrans_lonlat", "(iiiiKK)", handle, nlat, nlon, nfld,
+                     PTR(spec), PTR(gp));
+}
+
+int ectrans_tpu_distgrid(int handle, int nfld, const double *global_gp,
+                         double *local_gp) {
+  return call_simple("distgrid", "(iiKK)", handle, nfld, PTR(global_gp),
+                     PTR(local_gp));
+}
+
+int ectrans_tpu_gathgrid(int handle, int nfld, const double *local_gp,
+                         double *global_gp) {
+  return call_simple("gathgrid", "(iiKK)", handle, nfld, PTR(local_gp),
+                     PTR(global_gp));
+}
+
+int ectrans_tpu_distspec(int handle, int nfld, const double *global_sp,
+                         double *local_sp) {
+  return call_simple("distspec", "(iiKK)", handle, nfld, PTR(global_sp),
+                     PTR(local_sp));
+}
+
+int ectrans_tpu_gathspec(int handle, int nfld, const double *local_sp,
+                         double *global_sp) {
+  return call_simple("gathspec", "(iiKK)", handle, nfld, PTR(local_sp),
+                     PTR(global_sp));
+}
+
+int ectrans_tpu_invtrans_f(int handle, int nfld, const float *spec,
+                           float *gp) {
+  return call_simple("invtrans_scalar_f", "(iiKK)", handle, nfld, PTR(spec),
+                     PTR(gp));
+}
+
+int ectrans_tpu_dirtrans_f(int handle, int nfld, const float *gp,
+                           float *spec) {
+  return call_simple("dirtrans_scalar_f", "(iiKK)", handle, nfld, PTR(gp),
+                     PTR(spec));
+}
+
+int ectrans_tpu_set_legpol_dir(const char *path) {
+  return call_simple("set_legpol_dir", "(s)", path);
+}
+
+int ectrans_tpu_setup_lam(int nx, int ny, int nxux, int nyux, int msmax,
+                          int nsmax, double dx, double dy) {
+  gil_t g = gil_begin();
+  if (ensure_init() != 0) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_INIT;
+  }
+  PyObject *args =
+      Py_BuildValue("(iiiiiidd)", nx, ny, nxux, nyux, msmax, nsmax, dx, dy);
+  PyObject *out = bridge_call("setup_lam", args);
   Py_DECREF(args);
   if (out == NULL) {
     PyErr_Print();
+    gil_end(g);
+    return ECTRANS_TPU_ERR_SETUP;
+  }
+  long h = PyLong_AsLong(out);
+  Py_DECREF(out);
+  gil_end(g);
+  return (int)h;
+}
+
+int ectrans_tpu_inquire_lam(int handle, int *nspec2, int *ngptot, int *nx,
+                            int *ny) {
+  gil_t g = gil_begin();
+  if (ensure_init() != 0) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_INIT;
+  }
+  PyObject *args = Py_BuildValue("(i)", handle);
+  PyObject *out = bridge_call("inquire_lam", args);
+  Py_DECREF(args);
+  if (out == NULL) {
+    PyErr_Print();
+    gil_end(g);
+    return ECTRANS_TPU_ERR_HANDLE;
+  }
+  long a, b, c, d;
+  if (!PyArg_ParseTuple(out, "llll", &a, &b, &c, &d)) {
+    Py_DECREF(out);
+    gil_end(g);
     return ECTRANS_TPU_ERR_HANDLE;
   }
   Py_DECREF(out);
+  gil_end(g);
+  if (nspec2) *nspec2 = (int)a;
+  if (ngptot) *ngptot = (int)b;
+  if (nx) *nx = (int)c;
+  if (ny) *ny = (int)d;
   return ECTRANS_TPU_SUCCESS;
 }
 
+int ectrans_tpu_invtrans_lam(int handle, int nfld, const double *spec,
+                             double *gp) {
+  return call_simple("invtrans_lam_scalar", "(iiKK)", handle, nfld, PTR(spec),
+                     PTR(gp));
+}
+
+int ectrans_tpu_dirtrans_lam(int handle, int nfld, const double *gp,
+                             double *spec) {
+  return call_simple("dirtrans_lam_scalar", "(iiKK)", handle, nfld, PTR(gp),
+                     PTR(spec));
+}
+
+int ectrans_tpu_release_lam(int handle) {
+  return call_simple("release_lam", "(i)", handle);
+}
+
+int ectrans_tpu_release(int handle) {
+  return call_simple("release", "(i)", handle);
+}
+
 int ectrans_tpu_finalize(void) {
+  gil_t g = gil_begin();
   Py_XDECREF(g_bridge);
   g_bridge = NULL;
+  gil_end(g);
   if (g_we_initialized && Py_IsInitialized()) {
     Py_Finalize();
     g_we_initialized = 0;

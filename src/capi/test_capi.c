@@ -67,6 +67,104 @@ int main(void) {
   free(y);
   free(xt);
 
+  /* gpnorm: [ave, min, max] per field */
+  double gn[2 * 3];
+  if (ectrans_tpu_gpnorm(h, nfld, gp, gn) != 0) return 1;
+  printf("gpnorm f0: ave %.6f min %.6f max %.6f\n", gn[0], gn[1], gn[2]);
+  if (!(gn[1] <= gn[0] && gn[0] <= gn[2])) {
+    fprintf(stderr, "FAIL: gpnorm ordering\n");
+    return 4;
+  }
+
+  /* vordiv_to_uv: pure spectral map, check it runs and is nonzero */
+  double *spu = calloc((size_t)nfld * nspec2, sizeof(double));
+  double *spv = calloc((size_t)nfld * nspec2, sizeof(double));
+  if (ectrans_tpu_vordiv_to_uv(h, nfld, spec, spec, spu, spv) != 0) return 1;
+  double su = 0.0;
+  for (int i = 0; i < nfld * nspec2; ++i) su += fabs(spu[i]);
+  if (su == 0.0) {
+    fprintf(stderr, "FAIL: vordiv_to_uv all-zero\n");
+    return 5;
+  }
+  free(spu);
+  free(spv);
+
+  /* dist/gath round-trip copies */
+  double *gp2 = calloc((size_t)nfld * ngptot, sizeof(double));
+  if (ectrans_tpu_distgrid(h, nfld, gp, gp2) != 0) return 1;
+  if (ectrans_tpu_gathgrid(h, nfld, gp2, gp2) != 0) return 1;
+  for (int i = 0; i < nfld * ngptot; ++i)
+    if (gp2[i] != gp[i]) {
+      fprintf(stderr, "FAIL: dist/gath grid copy\n");
+      return 6;
+    }
+  free(gp2);
+
+  /* lat-lon output mode */
+  const int nlat = 19, nlon = 36;
+  double *ll = calloc((size_t)nfld * nlat * nlon, sizeof(double));
+  if (ectrans_tpu_invtrans_lonlat(h, nlat, nlon, nfld, spec, ll) != 0)
+    return 1;
+  double sll = 0.0;
+  for (int i = 0; i < nfld * nlat * nlon; ++i) sll += fabs(ll[i]);
+  if (sll == 0.0) {
+    fprintf(stderr, "FAIL: lonlat output all-zero\n");
+    return 7;
+  }
+  free(ll);
+
+  /* single-precision entry points */
+  float *specf = calloc((size_t)nfld * nspec2, sizeof(float));
+  float *gpf = calloc((size_t)nfld * ngptot, sizeof(float));
+  float *specf2 = calloc((size_t)nfld * nspec2, sizeof(float));
+  for (int i = 0; i < nfld * nspec2; ++i) specf[i] = (float)spec[i];
+  if (ectrans_tpu_invtrans_f(h, nfld, specf, gpf) != 0) return 1;
+  if (ectrans_tpu_dirtrans_f(h, nfld, gpf, specf2) != 0) return 1;
+  double errf = 0.0;
+  for (int i = 0; i < nfld * nspec2; ++i) {
+    double d = fabs((double)specf2[i] - (double)specf[i]);
+    if (d > errf) errf = d;
+  }
+  printf("fp32 roundtrip max err: %.3e\n", errf);
+  if (errf > 1e-4) {
+    fprintf(stderr, "FAIL: fp32 roundtrip\n");
+    return 8;
+  }
+  free(specf);
+  free(gpf);
+  free(specf2);
+
+  /* LAM surface: biperiodic domain round trip */
+  int lh = ectrans_tpu_setup_lam(48, 40, 48, 40, -1, -1, 1000.0, 1000.0);
+  if (lh < 0) {
+    fprintf(stderr, "FAIL: setup_lam %d\n", lh);
+    return 9;
+  }
+  int lnspec2, lngptot, lnx, lny;
+  if (ectrans_tpu_inquire_lam(lh, &lnspec2, &lngptot, &lnx, &lny) != 0)
+    return 1;
+  printf("LAM: nspec2=%d ngptot=%d nx=%d ny=%d\n", lnspec2, lngptot, lnx, lny);
+  double *lsp = calloc((size_t)lnspec2, sizeof(double));
+  double *lgp = calloc((size_t)lngptot, sizeof(double));
+  double *lsp2 = calloc((size_t)lnspec2, sizeof(double));
+  lsp[4 * 3] = 1.0; /* one interior mode (4 reals per (m,n)) */
+  if (ectrans_tpu_invtrans_lam(lh, 1, lsp, lgp) != 0) return 1;
+  if (ectrans_tpu_dirtrans_lam(lh, 1, lgp, lsp2) != 0) return 1;
+  double lerr = 0.0;
+  for (int i = 0; i < lnspec2; ++i) {
+    double d = fabs(lsp2[i] - lsp[i]);
+    if (d > lerr) lerr = d;
+  }
+  printf("LAM roundtrip max err: %.3e\n", lerr);
+  if (lerr > 1e-9) {
+    fprintf(stderr, "FAIL: LAM roundtrip\n");
+    return 10;
+  }
+  free(lsp);
+  free(lgp);
+  free(lsp2);
+  ectrans_tpu_release_lam(lh);
+
   ectrans_tpu_release(h);
   ectrans_tpu_finalize();
   free(spec);
