@@ -439,6 +439,217 @@ class ShardedTransform:
         if nsc and flags.scders: take(slots_sc, pos_sc, nsc)
         return grid[np.asarray(sel)]
 
+    # -- lat-lon output mode (LDLL) on the distributed path --------------
+    def _latlon_tables_sharded(self, ll):
+        """Device tables for lat-lon output: per-group Legendre tensors at
+        the lat-lon latitudes (permuted/padded like the Gaussian ones) +
+        1/(a cos) rows, sharded over "w"; plus the replicated uniform-DFT
+        tables for the equal-length longitude rows."""
+        from ..legendre import build_parity_tables
+        from ..ops.fourier import uniform_dft_tables
+
+        res, dist = self.res, self.dist
+        nh = (ll.nlat + 1) // 2
+        psym, pasym, _ = build_parity_tables(res.nsmax, ll.mu[:nh],
+                                             ntmax_extra=1)
+        ML = dist.ML
+        dev, specs = {}, {}
+        for gi, g in enumerate(dist.groups):
+            ps = np.zeros((dist.w * g.Lg, nh, g.kg))
+            pa = np.zeros((dist.w * g.Lg, nh, g.kg))
+            for s in range(dist.w):
+                for j in range(g.Lg):
+                    m = dist.perm[s * ML + g.off + j]
+                    if m < res.M:
+                        ps[s * g.Lg + j] = psym[m, :, : g.kg]
+                        pa[s * g.Lg + j] = pasym[m, :, : g.kg]
+            for nm, val in ((f"ll{gi}_psym_w", ps), (f"ll{gi}_pasym_w", pa)):
+                sh = NamedSharding(self.mesh, P("w", None, None))
+                dev[nm] = jax.device_put(
+                    jnp.asarray(val.astype(self.dtype)), sh)
+                specs[nm] = P("w", None, None)
+        wv = self.w * self.v
+        nlat_pad = -(-ll.nlat // wv) * wv
+        racthe = 1.0 / np.maximum(
+            np.sqrt(1.0 - ll.mu**2), 1e-12) / res.radius
+        if getattr(ll, "include_poles", False):
+            racthe[0] = 0.0
+            racthe[-1] = 0.0
+        rl = np.pad(racthe, (0, nlat_pad - ll.nlat))
+        dev["ll_racthe_lat_w"] = jax.device_put(
+            jnp.asarray(rl.astype(self.dtype)),
+            NamedSharding(self.mesh, P("w")))
+        specs["ll_racthe_lat_w"] = P("w")
+        ut = uniform_dft_tables(ll.nlon, res.nsmax, str(self.dtype))
+        return dev, specs, ut, nlat_pad
+
+    def _lt_inv_ll(self, dense, t, llt, nh: int, odd: bool, nlat_pad: int):
+        """Grouped inverse Legendre at the lat-lon latitudes (local m-block);
+        emits (F, 2, ML, nlat_pad)."""
+        prec = jax.lax.Precision.HIGHEST
+        acc = (jnp.float32 if dense.dtype in (jnp.float32, jnp.bfloat16)
+               else dense.dtype)
+        pad = jnp.concatenate(
+            [dense, jnp.zeros(dense.shape[:3] + (1,), dense.dtype)], axis=-1)
+        parts = []
+        for gi, g in enumerate(self.dist.groups):
+            idx_s = t["idx_sym_w"][g.off : g.off + g.Lg, : g.kg]
+            idx_a = t["idx_asym_w"][g.off : g.off + g.Lg, : g.kg]
+            mar = jnp.arange(g.Lg)[:, None]
+            dblk = pad[:, :, g.off : g.off + g.Lg, :]
+            sym = dblk[:, :, mar, idx_s]
+            asym = dblk[:, :, mar, idx_a]
+            fs = jnp.einsum("mik,fcmk->fcmi", llt[f"ll{gi}_psym_w"], sym,
+                            precision=prec, preferred_element_type=acc
+                            ).astype(dense.dtype)
+            fa = jnp.einsum("mik,fcmk->fcmi", llt[f"ll{gi}_pasym_w"], asym,
+                            precision=prec, preferred_element_type=acc
+                            ).astype(dense.dtype)
+            north = fs + fa
+            south = (fs - fa)[..., ::-1]
+            parts.append(jnp.concatenate([north, south], axis=-1))
+        out = jnp.concatenate(parts, axis=2)      # (F, 2, ML, 2*nh)
+        if odd:   # drop the duplicated equator row from the southern half
+            out = jnp.concatenate([out[..., :nh], out[..., nh + 1 :]], -1)
+        npad = nlat_pad - out.shape[-1]
+        if npad:
+            out = jnp.pad(out, [(0, 0)] * 3 + [(0, npad)])
+        return out
+
+    def _inv_ll_kernel(self, spvor, spdiv, spsc, t, llt, ut, flags: InvFlags,
+                       nh, odd, nlat_pad):
+        from ..ops.fourier import synthesis_uniform
+
+        res = self.res
+        Fuv = spvor.shape[0]
+        Fsc = spsc.shape[0]
+
+        def lt(dense):
+            return self._lt_inv_ll(dense, t, llt, nh, odd, nlat_pad)
+
+        groups1 = []
+        if Fuv:
+            dvor = self._packed_to_dense_local(spvor, t)
+            ddiv = self._packed_to_dense_local(spdiv, t)
+            du, dv = spectral.vordiv_to_uv(
+                dvor, ddiv, self._ct(t, "vd", ("a", "b", "c", "valid")))
+            if flags.vorgp:
+                groups1.append(lt(dvor))
+            if flags.divgp:
+                groups1.append(lt(ddiv))
+            groups1.append(lt(jnp.concatenate([du, dv], axis=0)))
+        if Fsc:
+            dsc = self._packed_to_dense_local(spsc, t)
+            groups1.append(lt(dsc))
+            if flags.scders:
+                dnsd = spectral.ns_derivative(
+                    dsc, self._ct(t, "ns", ("a", "b", "valid")))
+                groups1.append(lt(dnsd))
+        four = jnp.concatenate(groups1, axis=0)   # (F1, 2, ML, nlat_pad)
+        # TRMTOL
+        four = jax.lax.all_to_all(four, "w", split_axis=3, concat_axis=2,
+                                  tiled=True)
+        four = four[:, :, t["pos_of_m"], :]       # (F1, 2, M, LL_ll)
+
+        racthe = llt["ll_racthe_lat_w"][None, None, None, :]
+        mval = jnp.arange(res.M, dtype=four.dtype)[None, :, None]
+
+        def ew(x):
+            re, im = x[:, 0], x[:, 1]
+            return jnp.stack([-im * mval, re * mval], axis=1) * racthe
+
+        i = 0
+        out = []
+        if Fuv and flags.vorgp:
+            out.append(four[i : i + Fuv]); i += Fuv
+        if Fuv and flags.divgp:
+            out.append(four[i : i + Fuv]); i += Fuv
+        uvf = None
+        if Fuv:
+            uvf = four[i : i + 2 * Fuv] * racthe; i += 2 * Fuv
+            out.append(uvf)
+        scf = None
+        if Fsc:
+            scf = four[i : i + Fsc]; i += Fsc
+            out.append(scf)
+            if flags.scders:
+                out.append(four[i : i + Fsc] * racthe); i += Fsc
+        if Fuv and flags.uvders:
+            out.append(ew(uvf))
+        if Fsc and flags.scders:
+            out.append(ew(scf))
+        four2 = jnp.concatenate(out, axis=0)
+        # uniform-length synthesis on local rows
+        re = four2[:, 0].swapaxes(1, 2)           # (F2, LL, M)
+        im = four2[:, 1].swapaxes(1, 2)
+        grid = synthesis_uniform(re, im, ut)      # (F2, LL, nlon)
+        # TRLTOG
+        grid = jax.lax.all_to_all(grid, "v", split_axis=1, concat_axis=0,
+                                  tiled=True)
+        gsz = []
+        if Fuv and flags.vorgp: gsz.append(Fuv)
+        if Fuv and flags.divgp: gsz.append(Fuv)
+        if Fuv: gsz += [Fuv, Fuv]
+        if Fsc: gsz.append(Fsc)
+        if Fsc and flags.scders: gsz.append(Fsc)
+        if Fuv and flags.uvders: gsz += [Fuv, Fuv]
+        if Fsc and flags.scders: gsz.append(Fsc)
+        _, inv_perm = self._group_perms([g * self.v for g in gsz], self.v)
+        return grid[inv_perm]
+
+    def inv_trans_latlon(self, ll, spvor=None, spdiv=None, spscalar=None,
+                         flags: InvFlags = InvFlags()):
+        """Distributed inverse transform onto a regular lat-lon grid (the
+        LDLL mode of the reference, here exact spectral evaluation at the
+        lat-lon latitudes — see ``ectrans_tpu.latlon``).  Output:
+        (nfld_out, nlat, nlon) sharded P(None, ("w","v"), None)."""
+        if (spvor is None) != (spdiv is None):
+            raise ValueError("spvor and spdiv must be supplied together")
+        if spvor is None and spscalar is None:
+            raise ValueError("nothing to transform")
+        for nm, arr in (("spvor", spvor), ("spdiv", spdiv),
+                        ("spscalar", spscalar)):
+            _check_spec(nm, arr, self.res)
+        if not hasattr(self, "_ll_cache"):
+            self._ll_cache = {}
+        llkey = (ll.nlat, ll.nlon, getattr(ll, "include_poles", False))
+        if llkey not in self._ll_cache:
+            self._ll_cache[llkey] = self._latlon_tables_sharded(ll)
+        llt, llspecs, ut, nlat_pad = self._ll_cache[llkey]
+        spvor, nuv = self._pad_fields(spvor)
+        spdiv, _ = self._pad_fields(spdiv)
+        spsc, nsc = self._pad_fields(spscalar)
+        key = ("ll", llkey, 0 if spvor is None else spvor.shape[0],
+               0 if spsc is None else spsc.shape[0], flags)
+        if key not in self._inv_jit:
+            nh = (ll.nlat + 1) // 2
+            odd = ll.nlat % 2 == 1
+            specs_t = {k: self.table_specs[k] for k in self.tables}
+
+            def fn(spvor, spdiv, spsc):
+                kernel = functools.partial(
+                    self._inv_ll_kernel, ut=ut, flags=flags, nh=nh, odd=odd,
+                    nlat_pad=nlat_pad)
+                sm = jax.shard_map(
+                    lambda a, b, c, t, lt_: kernel(a, b, c, t, lt_),
+                    mesh=self.mesh,
+                    in_specs=(P("v", None), P("v", None), P("v", None),
+                              specs_t, llspecs),
+                    out_specs=P(None, ("w", "v"), None),
+                )
+                zero = jnp.zeros((0, self.res.nspec2), self.dtype)
+                out = sm(spvor if spvor is not None else zero,
+                         spdiv if spdiv is not None else zero,
+                         spsc if spsc is not None else zero,
+                         self.tables, llt)
+                if nlat_pad != ll.nlat:
+                    out = out[:, : ll.nlat]
+                return out
+
+            self._inv_jit[key] = jax.jit(fn)
+        grid = self._inv_jit[key](spvor, spdiv, spsc)
+        return self._strip_fields(grid, nuv, nsc, flags)
+
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
                   flags: InvFlags = InvFlags(), npromatr: int | None = None,
                   kvsetuv=None, kvsetsc=None, fspgl_proc=None):

@@ -105,3 +105,39 @@ def test_dirtrans_from_latlon():
     _, _, sp2 = dir_trans_latlon(res, ll, scalars=grid_ll, dtype=jnp.float64)
     err = np.abs(np.asarray(sp2) - sp).max()
     assert err < 1e-7, err  # interpolation-limited, not spectral-exact
+
+
+def test_latlon_sharded_matches_single_device():
+    """LDLL output on the distributed path == single-device latlon."""
+    from ectrans_tpu.parallel import ShardedTransform, make_mesh
+    from ectrans_tpu.latlon import LatLonGrid, inv_trans_latlon
+    from ectrans_tpu.transform import InvFlags
+
+    res = et.setup("O48", 47)
+    rng = np.random.default_rng(31)
+    n0 = 2 * (res.nsmax + 1)
+    vor = rng.standard_normal((2, res.nspec2))
+    div = rng.standard_normal((2, res.nspec2))
+    sc = rng.standard_normal((3, res.nspec2))
+    for x in (vor, div, sc):
+        x[:, 1:n0:2] = 0.0
+        x[:, 0] = 0.0
+    ll = LatLonGrid(nlat=46, nlon=90)
+    flags = InvFlags(scders=True, uvders=True)
+    ref = np.asarray(inv_trans_latlon(
+        res, ll, jnp.asarray(vor), jnp.asarray(div), jnp.asarray(sc),
+        flags=flags, dtype=jnp.float64))
+    st = ShardedTransform(res, make_mesh(4, 2), dtype=jnp.float64)
+    got = np.asarray(st.inv_trans_latlon(
+        ll, jnp.asarray(vor), jnp.asarray(div), jnp.asarray(sc), flags))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-12, err
+
+    # odd nlat (equator row) case, scalars only
+    ll2 = LatLonGrid(nlat=45, nlon=90)
+    ref2 = np.asarray(inv_trans_latlon(res, ll2, spscalar=jnp.asarray(sc),
+                                       dtype=jnp.float64))
+    got2 = np.asarray(st.inv_trans_latlon(ll2, spscalar=jnp.asarray(sc)))
+    err2 = np.abs(got2 - ref2).max() / np.abs(ref2).max()
+    assert err2 < 1e-12, err2
