@@ -73,8 +73,11 @@ class LamTransform:
     def specnorm(self, spec, met=None):
         return norms.especnorm(self.res, spec, met)
 
-    def gpnorm(self, grid, ave_only: bool = False):
-        return norms.egpnorm(self.res, grid, ave_only)
+    def gpnorm(self, grid, ave_only: bool = False, full_domain: bool = True):
+        """Grid-point norms; full_domain=True covers the whole extended
+        domain (the reference EGPNORM_TRANS convention), False restricts
+        to the C+I zone."""
+        return norms.egpnorm(self.res, grid, ave_only, full_domain)
 
     def dist_grid(self, grid_global):
         """Place a global (nfld, ny, nx) grid with the distributed layout

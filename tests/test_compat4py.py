@@ -115,3 +115,40 @@ def test_sp2gp_fft1d():
     x = 2 * np.pi * np.arange(L) / L
     expect = 2 * np.cos(3 * x) - 2 * 0.5 * np.sin(2 * x)
     assert np.abs(out - expect).max() < 1e-12
+
+
+def test_fa_ordering_closed_form():
+    """Pin the FA<->model reorder against the closed-form FA index derived
+    independently from the reference loop (gp2sp_gauss4py.F90:92-107):
+    block centers NASM0_fa(n) = n^2+n+1 (1-based), re(m,n) at center+m,
+    im(m,n) at center-m (dropped for m=0).  A systematic error identical
+    in both reorder directions would pass roundtrip tests; this pins the
+    absolute placement."""
+    from ectrans_tpu.compat4py import (_reorder_model_to_fa,
+                                       _reorder_fa_to_model)
+
+    trunc = 5
+    nspec2 = sum(2 * (trunc - m + 1) for m in range(trunc + 1))
+    ksize = (trunc + 1) * (trunc + 2)  # sum of (2n+2)
+
+    # model (ecTrans packed) order: m-major, n ascending, (re, im)
+    model = np.zeros(nspec2)
+    ji = 0
+    coeffs = {}
+    for m in range(trunc + 1):
+        for n in range(m, trunc + 1):
+            re, im = 100 * m + n, -(100 * m + n)
+            model[ji] = re
+            model[ji + 1] = 0.0 if m == 0 else im
+            coeffs[(m, n)] = (re, 0.0 if m == 0 else im)
+            ji += 2
+
+    fa = _reorder_model_to_fa(model, trunc, ksize)
+    for (m, n), (re, im) in coeffs.items():
+        center = n * n + n + 1  # 1-based closed form
+        assert fa[center + m - 1] == re, (m, n)
+        if m != 0:
+            assert fa[center - m - 1] == im, (m, n)
+
+    back = _reorder_fa_to_model(fa, trunc, nspec2)
+    assert np.array_equal(back, model)
