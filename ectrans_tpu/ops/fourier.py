@@ -297,24 +297,24 @@ def analysis_bucketed(grid, mbt: BucketedTables, M: int, normalize: bool = True)
 
     nfld = grid.shape[0]
     x = _pad_pair(grid)
-    if normalize:
-        scale = _rms_scale(x, (1, 2))
-        x = x / scale
-    else:
-        scale = jnp.ones((x.shape[0], 1, 1), x.dtype)
     outs_nh, outs_sh = [], []
     for bk in mbt.buckets:
         i0, i1, mb = bk.i0, bk.i1, bk.mb
         gb = jnp.concatenate(
             [x[:, i0:i1], x[:, mbt.ndgl - i1 : mbt.ndgl - i0]],
             axis=1)[..., : bk.bt.ndlon]
-        fb = analysis(gb, bk.bt, min(M, mb + 1), normalize=False)
+        # RMS pair-normalization happens inside the per-bucket analysis
+        # (on the bucket-local tensors): an outer whole-grid normalize
+        # miscompiles on the axon backend at >= 5 pairs regardless of
+        # broadcast rank — per-bucket scales are equally exact (each
+        # bucket divides and multiplies by the same value).
+        fb = analysis(gb, bk.bt, min(M, mb + 1), normalize=normalize)
         if fb.shape[2] < M:   # pad truncated zonal modes (zero beyond nmen)
             fb = jnp.pad(fb, [(0, 0), (0, 0), (0, M - fb.shape[2]), (0, 0)])
         outs_nh.append(fb[..., : i1 - i0])
         outs_sh.append(fb[..., i1 - i0 :])
     out = jnp.concatenate(outs_nh + outs_sh[::-1], axis=-1)
-    return (out[:nfld] * scale[:nfld, None, :, :]).astype(grid.dtype)
+    return out[:nfld].astype(grid.dtype)
 
 
 def _pad_last(x, n):
@@ -511,7 +511,11 @@ def synthesis(fourier, bt: BluesteinTables, normalize: bool = True):
         x = x / scale
     else:
         scale = jnp.ones((x.shape[0], 1, 1, 1), x.dtype)
-    A, B = x[0::2], x[1::2]                   # (P2, 2, M, ndgl)
+    # pair fields (0,1),(2,3),... via reshape, NOT x[0::2]/x[1::2]: the
+    # axon TPU backend miscompiles the strided field slice at >= 5 pairs
+    # on large arrays (silently wrong results; exact on CPU)
+    xr = x.reshape(-1, 2, *x.shape[1:])
+    A, B = xr[:, 0], xr[:, 1]                 # (P2, 2, M, ndgl)
     Ar = A[:, 0].swapaxes(1, 2)               # (P2, ndgl, M)
     mask0 = (jnp.arange(M) > 0).astype(x.dtype)
     Ai = A[:, 1].swapaxes(1, 2) * mask0       # m=0 imag is ignored (c2r parity)
@@ -553,12 +557,17 @@ def analysis(grid, bt: BluesteinTables, M: int, normalize: bool = True):
     if M > mmax + 1:
         raise ValueError(f"analysis expects M <= mmax+1 ({mmax+1}), got {M}")
     x = _pad_pair(grid)
+    # reshape-based pairing (axon strided-slice miscompile — see synthesis)
+    xr = x.reshape(-1, 2, *x.shape[1:])        # (P2, 2, ndgl, ndlon)
     if normalize:
-        scale = _rms_scale(x, (1, 2))
-        x = x / scale
+        # NB: 4-D broadcast on the paired tensor — the axon backend
+        # miscompiles the equivalent 3-D leading-axis broadcast divide
+        # ((F, ndgl, ndlon) / (F, 1, 1)) at F >= 10 (wrong results)
+        scale = _rms_scale(xr, (2, 3))         # (P2, 2, 1, 1)
+        xr = xr / scale
     else:
-        scale = jnp.ones((x.shape[0], 1, 1), x.dtype)
-    ga, gb = x[0::2], x[1::2]                  # (P2, ndgl, ndlon)
+        scale = jnp.ones((xr.shape[0], 2, 1, 1), x.dtype)
+    ga, gb = xr[:, 0], xr[:, 1]                # (P2, ndgl, ndlon)
     sr = ga * bt.ana_in_r[None] - gb * bt.ana_in_i[None]
     si = ga * bt.ana_in_i[None] + gb * bt.ana_in_r[None]
     vr, vi = _chunked_conv(sr, si, bt.ana_bh_r[None], bt.ana_bh_i[None],
@@ -575,6 +584,8 @@ def analysis(grid, bt: BluesteinTables, M: int, normalize: bool = True):
     zn_i = zi[..., mmax::-1][..., :M]
     fa = jnp.stack([(zp_r + zn_r) * 0.5, (zp_i - zn_i) * 0.5], axis=1)
     fb = jnp.stack([(zp_i + zn_i) * 0.5, (zn_r - zp_r) * 0.5], axis=1)
+    fa = fa * scale[:, 0][:, None]             # (P2, 2cmp, ndgl, M) 4-D
+    fb = fb * scale[:, 1][:, None]
     out = jnp.stack([fa, fb], axis=1)          # (P2, 2fields, 2cmp, ndgl, M)
     out = out.reshape(-1, 2, out.shape[3], M)[:nfld]
-    return (out.swapaxes(2, 3) * scale[:nfld, None]).astype(grid.dtype)
+    return out.swapaxes(2, 3).astype(grid.dtype)
