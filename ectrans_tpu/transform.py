@@ -136,34 +136,51 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
         # user-supplied Fourier-space hook (reference FSPGL_INT,
         # fspgl_int_mod.F90: the IFS semi-Lagrangian callback point)
         four = fspgl_proc(four)
+    # materialise before the bucketed synthesis (axon >= 5-pair fusion
+    # miscompile guard — see _dir_impl)
+    four = jax.lax.optimization_barrier(four)
     return fourier.synthesis_bucketed(four, bt, normalize=normalize)
 
 
-@functools.partial(jax.jit, static_argnames=("normalize",))
-def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True):
-    dtype = tables.racthe.dtype
-    racthe = tables.racthe[None, None, None, :]
-    nfld_uv = u.shape[0] if u is not None else 0
-    parts = []
-    if nfld_uv:
-        parts.append(u.astype(dtype))
-        parts.append(v.astype(dtype))
-    if scalars is not None:
-        parts.append(scalars.astype(dtype))
-    grid = jnp.concatenate(parts, axis=0)
+# NB: the direct transform runs as TWO jitted programs with a dispatch
+# boundary between the Fourier analysis and the Legendre stage: fusing the
+# bucketed analysis with the downstream LT in one program miscompiles on
+# the axon TPU backend at >= 5 field pairs (silently wrong results; each
+# half is exact in isolation, and optimization_barrier does NOT prevent
+# it).  The split costs one dispatch and one HBM materialisation of the
+# Fourier tensor (which the fused program materialises anyway).
 
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def _dir_ana_impl(tables, bt, u, v, scalars, normalize=True):
+    dtype = tables.racthe.dtype
     M = tables.dense_gather.shape[1]
+    # u/v and scalars are analysed in SEPARATE bucketed calls: feeding the
+    # 3-array field concat into the per-bucket row slices miscompiles on
+    # the axon TPU backend (deterministically wrong results at TCO1279;
+    # exact on CPU, exact with unconcatenated inputs, and NOT prevented by
+    # optimization_barrier).  Pairing also stays within each field family.
+    parts = []
+    if u is not None:
+        uv = jnp.concatenate([u.astype(dtype), v.astype(dtype)], axis=0)
+        parts.append(fourier.analysis_bucketed(uv, bt, M, normalize=normalize))
+    if scalars is not None:
+        parts.append(fourier.analysis_bucketed(
+            scalars.astype(dtype), bt, M, normalize=normalize))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc"))
+def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc):
     NP = tables.dense_gather.shape[2]
-    four = fourier.analysis_bucketed(grid, bt, M, normalize=normalize)
+    ndgnh = gl.ndgnh
     if nfld_uv:
         # LDFOU2: scale u, v Fourier coefficients by 1/(a cos(theta))
+        racthe = tables.racthe[None, None, None, :]
         uvpart = four[: 2 * nfld_uv] * racthe
         four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
-
-    ndgnh = gl.ndgnh
     sym, asym = legendre_matmul.legendre_dir_grouped(four, gl, tables.w[:ndgnh])
     dense = layout.parity_to_dense(sym, asym, tables, NP)
-
     spvor = spdiv = spsc = None
     if nfld_uv:
         du = dense[:nfld_uv]
@@ -171,9 +188,15 @@ def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True):
         dvor, ddiv = spectral.uv_to_vordiv(du, dv, ct["uvtvd"])
         spvor = layout.dense_to_packed(dvor, tables)
         spdiv = layout.dense_to_packed(ddiv, tables)
-    if scalars is not None:
+    if has_sc:
         spsc = layout.dense_to_packed(dense[2 * nfld_uv :], tables)
     return spvor, spdiv, spsc
+
+
+def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True):
+    four = _dir_ana_impl(tables, bt, u, v, scalars, normalize)
+    nfld_uv = u.shape[0] if u is not None else 0
+    return _dir_lt_impl(tables, gl, ct, four, nfld_uv, scalars is not None)
 
 
 def inv_trans(
