@@ -40,7 +40,15 @@ def packed_to_dense(spec, tables):
 
 
 def dense_to_packed(dense, tables):
-    """(nfld, 2, M, NP) -> (nfld, nspec2)."""
+    """(nfld, 2, M, NP) -> (nfld, nspec2).
+
+    A per-element gather.  NB round-2 measurement: reformulations with
+    monotone unit-stride gathers from a diagonal-realigned buffer (with
+    either a (re,im) interleave transpose or two half gathers) are 1.4-1.7x
+    SLOWER on this TPU backend — XLA's gather lowering does not reward
+    monotonicity, and last-dim-2 relayouts are pathological.  A Pallas
+    ragged-compaction kernel is the remaining路 if this shows up hot.
+    """
     return dense[:, tables.packed_gather_c, tables.packed_gather_m, tables.packed_gather_n]
 
 
