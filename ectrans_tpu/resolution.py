@@ -126,7 +126,13 @@ class Resolution:
         M, ndgnh, nmax = self.M, self.ndgnh, self.nsmax + 1
         psym, pasym = self.parity_tables(dtype_str)
         if ngroups is None:
-            ngroups = max(1, min(16, M // 8))
+            import os as _os
+
+            # finer grouping tightens the staircase padding of ndglu/k (a
+            # few % of table memory — the margin that fits TCO2047 on one
+            # 16 GB chip) at the cost of more einsum calls per transform
+            env = _os.environ.get("ECTRANS_TPU_LEG_GROUPS")
+            ngroups = int(env) if env else max(1, min(16, M // 8))
         bs = -(-M // ngroups)
         groups = []
         for gi in range(ngroups):
@@ -276,6 +282,38 @@ def _build_parity_maps(nsmax: int, NP: int, kmax: int):
     return idx_sym, idx_asym
 
 
+def printlev() -> int:
+    """Verbosity level (the reference NPRINTLEV, ``tpm_gen.F90``):
+    0 silent (default), 1 setup banners, 2 detailed tables.  Set via
+    ECTRANS_TPU_PRINTLEV."""
+    import os
+
+    try:
+        return int(os.environ.get("ECTRANS_TPU_PRINTLEV", "0"))
+    except ValueError:
+        return 0
+
+
+def _setup_banner(res: "Resolution") -> None:
+    """Setup banner at NPRINTLEV >= 1 (reference setup_trans0.F90:115-153)."""
+    import sys
+
+    from . import __version__
+
+    g = res.grid
+    print(f"ectrans_tpu {__version__}: setup T{res.nsmax} "
+          f"ndgl={res.ndgl} ndlon={g.ndlon} ngptot={g.ngptot} "
+          f"nspec2={res.nspec2} tables={res.psym.dtype}", file=sys.stderr)
+    if printlev() >= 2:
+        tbytes = res.psym.nbytes + res.pasym.nbytes
+        print(f"  legendre tables: {tbytes/1e9:.2f} GB host "
+              f"(kmax={res.kmax}, ndgnh={res.ndgnh}); "
+              f"radius={res.radius}", file=sys.stderr)
+        print(f"  nloen: {g.nloen[0]}..{max(g.nloen)}; "
+              f"nmen: {int(res.nmen[0])}..{int(res.nmen.max())}",
+              file=sys.stderr)
+
+
 _CURRENT: list = []  # most-recently set up Resolution (GET_CURRENT parity)
 
 
@@ -386,6 +424,8 @@ def setup(grid_or_name: Any, nsmax: int | None = None,
     if not _CURRENT or _CURRENT[-1] is not res:
         _CURRENT.append(res)
         del _CURRENT[:-4]  # keep a short history only
+        if printlev() >= 1:
+            _setup_banner(res)
     return res
 
 
