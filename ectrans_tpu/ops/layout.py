@@ -79,15 +79,24 @@ def parity_to_dense(sym, asym, tables, NP):
     """Inverse of dense_to_parity on the valid (n >= m) region; entries at
     n < m are neighbouring rows' coefficients (not zeros) — every consumer
     either masks with the (n >= m) validity table or gathers valid
-    positions only."""
+    positions only.
+
+    The parity interleave is a static last-axis gather from the
+    concatenated [sym | asym | 0] buffer — NOT a stack on a new trailing
+    axis of size 2: XLA assigns that temp a (…, K, 2) tiled layout whose
+    lane dimension is 2/128 occupied, a 32x padded-memory expansion (4 GB
+    for a 128 MB tensor at T2047 — the allocation that OOMed one chip).
+    """
+    import numpy as np
+
     f, c, M, K = sym.shape
     W = NP
-    # interleave parities along j, pad/crop the j axis to W+1
-    d2 = jnp.stack([sym, asym], axis=-1).reshape(f, c, M, 2 * K)
-    if 2 * K < W + 1:
-        d2 = jnp.pad(d2, [(0, 0)] * 3 + [(0, W + 1 - 2 * K)])
-    else:
-        d2 = d2[..., : W + 1]
+    conc = jnp.concatenate(
+        [sym, asym, jnp.zeros((f, c, M, 1), sym.dtype)], axis=-1)
+    j = np.arange(W + 1)
+    idx = np.where(j % 2 == 0, j // 2, K + j // 2)
+    idx = np.where(j // 2 < K, idx, 2 * K).astype(np.int32)  # 2K = zero col
+    d2 = conc[..., jnp.asarray(idx)]           # (f, c, M, W+1) interleaved
     flat = d2.reshape(f, c, M * (W + 1))
     return flat[..., : M * W].reshape(f, c, M, W)
 
