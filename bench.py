@@ -220,8 +220,13 @@ def run(config: str, profile_phases: bool):
 def main():
     import time as _t
 
+    # the legpol setup product persists across bench runs in the default
+    # on-disk cache (~/.cache/ectrans_tpu/legpol) — the TCO1279 host table
+    # build is a cache load, not a 10-minute recurrence (see cache.py)
     budget = float(os.environ.get("ECTRANS_BENCH_BUDGET_S", "1500"))
-    order = os.environ.get("ECTRANS_BENCH_CONFIGS", "TCO639,TCO1279").split(",")
+    # headline config FIRST: the driver's budget must always capture TCO1279
+    # (the reference's own headline resolution, ectrans-benchmark.F90 O1280)
+    order = os.environ.get("ECTRANS_BENCH_CONFIGS", "TCO1279,TCO639").split(",")
     want_phases = os.environ.get("ECTRANS_BENCH_PHASES", "1") != "0"
     t0 = _t.time()
     results = {}
@@ -230,17 +235,14 @@ def main():
             print(f"# skipping {config}: bench time budget", file=sys.stderr)
             break
         try:
-            # phase profiling only for the headline (last) config
-            results[config] = run(config, want_phases and i == len(order) - 1)
+            # phase profiling only for the headline (first) config
+            results[config] = run(config, want_phases and i == 0)
         except Exception as e:  # OOM / compile failure: keep earlier result
             print(f"# {config} failed: {type(e).__name__}: {e}", file=sys.stderr)
     if not results:
         raise SystemExit(1)
-    config = next(iter(results))
-    for c in reversed(order):
-        if c in results:
-            config = c
-            break
+    # report the headline = first configured entry that succeeded
+    config = next(c for c in order if c in results)
     gpps, dt, err, gate, phases = results[config]
     detail = {
         "sec_per_roundtrip": round(dt, 4),

@@ -53,19 +53,30 @@ class SpectralTransform:
 
     # -- transforms -----------------------------------------------------
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
-                  flags: InvFlags = InvFlags(), npromatr=None, **kw):
+                  flags: InvFlags = InvFlags(), npromatr=None,
+                  kvsetuv=None, kvsetsc=None, fspgl_proc=None, **kw):
         flags = InvFlags(**kw) if kw else flags
         if self._sharded is not None:
             return self._sharded.inv_trans(spvor, spdiv, spscalar, flags=flags,
-                                           npromatr=npromatr)
+                                           npromatr=npromatr, kvsetuv=kvsetuv,
+                                           kvsetsc=kvsetsc,
+                                           fspgl_proc=fspgl_proc)
+        if kvsetuv is not None or kvsetsc is not None:
+            raise ValueError("kvsetuv/kvsetsc require a mesh-attached "
+                             "SpectralTransform (distributed field ownership)")
         return transform.inv_trans(
             self.res, spvor, spdiv, spscalar, flags=flags, dtype=self.dtype,
-            npromatr=npromatr,
+            npromatr=npromatr, fspgl_proc=fspgl_proc,
         )
 
-    def dir_trans(self, u=None, v=None, scalars=None, npromatr=None):
+    def dir_trans(self, u=None, v=None, scalars=None, npromatr=None,
+                  kvsetuv=None, kvsetsc=None):
         if self._sharded is not None:
-            return self._sharded.dir_trans(u, v, scalars)
+            return self._sharded.dir_trans(u, v, scalars, kvsetuv=kvsetuv,
+                                           kvsetsc=kvsetsc, npromatr=npromatr)
+        if kvsetuv is not None or kvsetsc is not None:
+            raise ValueError("kvsetuv/kvsetsc require a mesh-attached "
+                             "SpectralTransform (distributed field ownership)")
         return transform.dir_trans(self.res, u, v, scalars, dtype=self.dtype,
                                    npromatr=npromatr)
 
@@ -198,10 +209,12 @@ class SpectralTransform:
             myms.append(np.asarray(ms))
             numpp.append(len(ms))
             nspec2_w.append(int(sum(2 * (res.nsmax - m + 1) for m in ms)))
-        LL = d.LL
+        # grid space is decomposed over w*v shards (ndgl_pad/(w*v) latitude
+        # rows each) — NGPTOTMX is the max gridpoint count over THOSE blocks
+        LLg = d.ndgl_pad // (d.w * d.v)
         ngptot_shard = max(
-            sum(res.grid.nloen[l] for l in range(i0, min(i0 + LL, res.ndgl)))
-            for i0 in range(0, d.ndgl_pad, LL)
+            sum(res.grid.nloen[l] for l in range(i0, min(i0 + LLg, res.ndgl)))
+            for i0 in range(0, d.ndgl_pad, LLg)
         )
         return {
             "nprtrw": d.w,

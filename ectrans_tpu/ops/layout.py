@@ -47,7 +47,7 @@ def dense_to_packed(dense, tables):
     either a (re,im) interleave transpose or two half gathers) are 1.4-1.7x
     SLOWER on this TPU backend — XLA's gather lowering does not reward
     monotonicity, and last-dim-2 relayouts are pathological.  A Pallas
-    ragged-compaction kernel is the remaining路 if this shows up hot.
+    ragged-compaction kernel is the remaining route if this shows up hot.
     """
     return dense[:, tables.packed_gather_c, tables.packed_gather_m, tables.packed_gather_n]
 

@@ -245,10 +245,12 @@ class ShardedTransform:
         Fuv = spvor.shape[0]
         Fsc = spsc.shape[0]
 
-        def lt(dense):
-            return self._lt_inv(dense, t)
-
-        groups1 = []  # pre-TRMTOL groups: vor? div? u v sc nsd
+        # ONE grouped Legendre call for every field family: each lt() call
+        # streams the shard's P tables from HBM, so batching vor/div/u/v/
+        # scalars/N-S-derivs into a single contraction pays table traffic
+        # once (the GPU backend's all-field grouped GEMM,
+        # gpu/internal/leinv_mod.F90:273-317).
+        lt_in = []  # pre-TRMTOL groups: vor? div? u v sc nsd
         if Fuv:
             dvor = self._packed_to_dense_local(spvor, t)
             ddiv = self._packed_to_dense_local(spdiv, t)
@@ -256,18 +258,20 @@ class ShardedTransform:
                 dvor, ddiv, self._ct(t, "vd", ("a", "b", "c", "valid"))
             )
             if flags.vorgp:
-                groups1.append(lt(dvor))
+                lt_in.append(dvor)
             if flags.divgp:
-                groups1.append(lt(ddiv))
-            groups1.append(lt(jnp.concatenate([du, dv], axis=0)))
+                lt_in.append(ddiv)
+            lt_in += [du, dv]
         if Fsc:
             dsc = self._packed_to_dense_local(spsc, t)
-            groups1.append(lt(dsc))
+            lt_in.append(dsc)
             if flags.scders:
                 dnsd = spectral.ns_derivative(dsc, self._ct(t, "ns", ("a", "b", "valid")))
-                groups1.append(lt(dnsd))
+                lt_in.append(dnsd)
 
-        four = jnp.concatenate(groups1, axis=0)  # (F1, 2, ML, ndgl)
+        dense_all = (jnp.concatenate(lt_in, axis=0)
+                     if len(lt_in) > 1 else lt_in[0])
+        four = self._lt_inv(dense_all, t)  # (F1, 2, ML, ndgl)
         npad = dist.ndgl_pad - res.ndgl
         if npad:
             four = jnp.pad(four, [(0, 0), (0, 0), (0, 0), (0, npad)])
@@ -320,14 +324,9 @@ class ShardedTransform:
         # owner-major -> group-major global field order
         # NB: u and v are separate groups (each device's local block is
         # [u-shard, v-shard], not a contiguous slice of a combined group)
-        gsz = []
-        if Fuv and flags.vorgp: gsz.append(Fuv)
-        if Fuv and flags.divgp: gsz.append(Fuv)
-        if Fuv: gsz += [Fuv, Fuv]
-        if Fsc: gsz.append(Fsc)
-        if Fsc and flags.scders: gsz.append(Fsc)
-        if Fuv and flags.uvders: gsz += [Fuv, Fuv]
-        if Fsc and flags.scders: gsz.append(Fsc)
+        from ..field_layout import FieldLayout
+
+        gsz = FieldLayout.inv(Fuv, Fsc, flags).sizes_padded
         _, inv_perm = self._group_perms([g * self.v for g in gsz], self.v)
         return grid[inv_perm]
 
@@ -390,8 +389,11 @@ class ShardedTransform:
         c = max(1, -(-n // self.v))
         return [min(i // c, self.v - 1) for i in range(n)]
 
-    def _inv_kvset(self, spvor, spdiv, spsc, flags, kvsetuv, kvsetsc):
+    def _inv_kvset(self, spvor, spdiv, spsc, flags, kvsetuv, kvsetsc,
+                   fspgl_proc=None):
         """inv_trans with caller-controlled field->v-shard ownership."""
+        from ..field_layout import FieldLayout
+
         nuv = 0 if spvor is None else spvor.shape[0]
         nsc = 0 if spsc is None else spsc.shape[0]
         if kvsetuv is not None and len(kvsetuv) != nuv:
@@ -415,29 +417,16 @@ class ShardedTransform:
             psc = self._kvset_place(jnp.asarray(spsc, self.dtype), slots_sc)
         key = (pv is not None, psc is not None,
                0 if pv is None else pv.shape[0],
-               0 if psc is None else psc.shape[0], flags)
+               0 if psc is None else psc.shape[0], flags, fspgl_proc)
         if key not in self._inv_jit:
-            self._inv_jit[key] = self._build_inv(flags)
+            self._inv_jit[key] = self._build_inv(flags, fspgl_proc)
         grid = self._inv_jit[key](pv, pd, psc)
-        # un-permute padded group-major output to the original field order
-        sel = []
-        off = 0
-
-        def take(slots, pos, n):
-            nonlocal off
-            sel.extend(off + pos[i] for i in range(n))
-            off += len(slots)
-
-        if nuv and flags.vorgp: take(slots_uv, pos_uv, nuv)
-        if nuv and flags.divgp: take(slots_uv, pos_uv, nuv)
-        if nuv:
-            take(slots_uv, pos_uv, nuv); take(slots_uv, pos_uv, nuv)
-        if nsc: take(slots_sc, pos_sc, nsc)
-        if nsc and flags.scders: take(slots_sc, pos_sc, nsc)
-        if nuv and flags.uvders:
-            take(slots_uv, pos_uv, nuv); take(slots_uv, pos_uv, nuv)
-        if nsc and flags.scders: take(slots_sc, pos_sc, nsc)
-        return grid[np.asarray(sel)]
+        # un-permute padded slot-major output to the original field order
+        fl = FieldLayout.inv(nuv, nsc, flags)
+        sel = fl.kvset_index(pos_uv, pos_sc,
+                             0 if slots_uv is None else len(slots_uv),
+                             0 if slots_sc is None else len(slots_sc))
+        return grid[sel]
 
     # -- lat-lon output mode (LDLL) on the distributed path --------------
     def _latlon_tables_sharded(self, ll):
@@ -586,14 +575,9 @@ class ShardedTransform:
         # TRLTOG
         grid = jax.lax.all_to_all(grid, "v", split_axis=1, concat_axis=0,
                                   tiled=True)
-        gsz = []
-        if Fuv and flags.vorgp: gsz.append(Fuv)
-        if Fuv and flags.divgp: gsz.append(Fuv)
-        if Fuv: gsz += [Fuv, Fuv]
-        if Fsc: gsz.append(Fsc)
-        if Fsc and flags.scders: gsz.append(Fsc)
-        if Fuv and flags.uvders: gsz += [Fuv, Fuv]
-        if Fsc and flags.scders: gsz.append(Fsc)
+        from ..field_layout import FieldLayout
+
+        gsz = FieldLayout.inv(Fuv, Fsc, flags).sizes_padded
         _, inv_perm = self._group_perms([g * self.v for g in gsz], self.v)
         return grid[inv_perm]
 
@@ -670,42 +654,14 @@ class ShardedTransform:
         for nm, arr in (("spvor", spvor), ("spdiv", spdiv),
                         ("spscalar", spscalar)):
             _check_spec(nm, arr, self.res)
-        if kvsetuv is not None or kvsetsc is not None:
-            return self._inv_kvset(spvor, spdiv, spscalar, flags,
-                                   kvsetuv, kvsetsc)
         nuv0 = 0 if spvor is None else spvor.shape[0]
         nsc0 = 0 if spscalar is None else spscalar.shape[0]
         if npromatr and 2 * nuv0 + nsc0 > npromatr:
-            from ..transform import _chunk_pad
-            parts = {k: [] for k in
-                     ("vor", "div", "u", "v", "sc", "nsd", "ewu", "ewv", "ewsc")}
-            if nuv0:
-                size = max(1, npromatr // 2)
-                for (cv, real), (cd, _) in zip(_chunk_pad(spvor, size),
-                                               _chunk_pad(spdiv, size)):
-                    out = self.inv_trans(cv, cd, None, flags)
-                    i = 0
-                    if flags.vorgp:
-                        parts["vor"].append(out[i : i + real]); i += size
-                    if flags.divgp:
-                        parts["div"].append(out[i : i + real]); i += size
-                    parts["u"].append(out[i : i + real]); i += size
-                    parts["v"].append(out[i : i + real]); i += size
-                    if flags.uvders:
-                        parts["ewu"].append(out[i : i + real]); i += size
-                        parts["ewv"].append(out[i : i + real]); i += size
-            if nsc0:
-                for csc, real in _chunk_pad(spscalar, max(1, npromatr)):
-                    out = self.inv_trans(None, None, csc, flags)
-                    i = 0
-                    parts["sc"].append(out[i : i + real]); i += max(1, npromatr)
-                    if flags.scders:
-                        parts["nsd"].append(out[i : i + real]); i += max(1, npromatr)
-                        parts["ewsc"].append(out[i : i + real])
-            order = ("vor", "div", "u", "v", "sc", "nsd", "ewu", "ewv", "ewsc")
-            return jnp.concatenate(
-                [jnp.concatenate(parts[k], axis=0) for k in order if parts[k]],
-                axis=0)
+            return self._inv_packets(spvor, spdiv, spscalar, flags, npromatr,
+                                     kvsetuv, kvsetsc, fspgl_proc)
+        if kvsetuv is not None or kvsetsc is not None:
+            return self._inv_kvset(spvor, spdiv, spscalar, flags,
+                                   kvsetuv, kvsetsc, fspgl_proc)
         spvor, nuv = self._pad_fields(spvor)
         spdiv, _ = self._pad_fields(spdiv)
         spsc, nsc = self._pad_fields(spscalar)
@@ -716,6 +672,53 @@ class ShardedTransform:
             self._inv_jit[key] = self._build_inv(flags, fspgl_proc)
         grid = self._inv_jit[key](spvor, spdiv, spsc)
         return self._strip_fields(grid, nuv, nsc, flags)
+
+    def _inv_packets(self, spvor, spdiv, spsc, flags, npromatr,
+                     kvsetuv, kvsetsc, fspgl_proc):
+        """NPROMATR packet loop on the sharded path; forwards fspgl_proc and
+        slices any KVSET ownership vectors along with their fields."""
+        from ..field_layout import FieldLayout
+        from ..transform import _chunk_pad
+
+        nuv0 = 0 if spvor is None else spvor.shape[0]
+        nsc0 = 0 if spsc is None else spsc.shape[0]
+        parts = {}
+        if nuv0:
+            size = max(1, npromatr // 2)
+            for j, ((cv, real), (cd, _)) in enumerate(
+                    zip(_chunk_pad(spvor, size), _chunk_pad(spdiv, size))):
+                if kvsetuv is not None:
+                    # unpadded chunk: the kvset vector must match field count
+                    cv, cd = spvor[j * size : j * size + real], \
+                        spdiv[j * size : j * size + real]
+                    kv = list(kvsetuv[j * size : j * size + real])
+                    out = self.inv_trans(cv, cd, None, flags, kvsetuv=kv,
+                                         fspgl_proc=fspgl_proc)
+                    fl = FieldLayout.inv(real, 0, flags)
+                else:
+                    out = self.inv_trans(cv, cd, None, flags,
+                                         fspgl_proc=fspgl_proc)
+                    fl = FieldLayout.inv(real, 0, flags, pad_uv=size)
+                for k, blk in fl.split(out).items():
+                    parts.setdefault(k, []).append(blk)
+        if nsc0:
+            size = max(1, npromatr)
+            for j, (csc, real) in enumerate(_chunk_pad(spsc, size)):
+                if kvsetsc is not None:
+                    csc = spsc[j * size : j * size + real]
+                    ks = list(kvsetsc[j * size : j * size + real])
+                    out = self.inv_trans(None, None, csc, flags, kvsetsc=ks,
+                                         fspgl_proc=fspgl_proc)
+                    fl = FieldLayout.inv(0, real, flags)
+                else:
+                    out = self.inv_trans(None, None, csc, flags,
+                                         fspgl_proc=fspgl_proc)
+                    fl = FieldLayout.inv(0, real, flags, pad_sc=size)
+                for k, blk in fl.split(out).items():
+                    parts.setdefault(k, []).append(blk)
+        order = FieldLayout.inv(nuv0, nsc0, flags).names
+        return jnp.concatenate(
+            [jnp.concatenate(parts[k], axis=0) for k in order], axis=0)
 
     def _build_inv(self, flags, fspgl_proc=None):
         specs_t = {k: self.table_specs[k] for k in self.tables}
@@ -742,41 +745,54 @@ class ShardedTransform:
 
     def _strip_fields(self, grid, nuv, nsc, flags):
         """Remove v-padding fields, group by group."""
+        from ..field_layout import FieldLayout
+
         v = self.v
-        Fuv = nuv + (-nuv) % v
-        Fsc = nsc + (-nsc) % v
-        if Fuv == nuv and Fsc == nsc:
-            return grid
-        sel = []
-        off = 0
-        def take(gpad, greal):
-            nonlocal off
-            sel.extend(range(off, off + greal))
-            off += gpad
-        if nuv and flags.vorgp: take(Fuv, nuv)
-        if nuv and flags.divgp: take(Fuv, nuv)
-        if nuv:
-            take(Fuv, nuv); take(Fuv, nuv)  # u then v (one group of 2*Fuv)
-        if nsc: take(Fsc, nsc)
-        if nsc and flags.scders: take(Fsc, nsc)
-        if nuv and flags.uvders:
-            take(Fuv, nuv); take(Fuv, nuv)
-        if nsc and flags.scders: take(Fsc, nsc)
-        return grid[np.asarray(sel)]
+        fl = FieldLayout.inv(nuv, nsc, flags,
+                             pad_uv=nuv + (-nuv) % v, pad_sc=nsc + (-nsc) % v)
+        sel = fl.strip_index()
+        return grid if sel is None else grid[sel]
 
     # ------------------------------------------------------------------
     def dir_trans(self, u=None, v=None, scalars=None,
-                  kvsetuv=None, kvsetsc=None):
+                  kvsetuv=None, kvsetsc=None, npromatr: int | None = None):
         """Distributed direct transform: grid -> packed spectral arrays.
 
         kvsetuv/kvsetsc: optional per-field v-shard ownership vectors
         (reference KVSETUV/KVSETSC) controlling which shard computes each
         field; outputs come back in the caller's field order.
+        ``npromatr`` splits huge field sets into memory-bounded packets
+        (reference NPROMATR, ``dir_trans_ctl_mod.F90``).
         """
         if (u is None) != (v is None):
             raise ValueError("u and v must be supplied together")
         if u is not None and u.shape != v.shape:
             raise ValueError(f"u/v shape mismatch: {u.shape} vs {v.shape}")
+        nuv0 = 0 if u is None else u.shape[0]
+        nsc0 = 0 if scalars is None else scalars.shape[0]
+        if npromatr and 2 * nuv0 + nsc0 > npromatr:
+            sv_p, sd_p, ss_p = [], [], []
+            if nuv0:
+                size = max(1, npromatr // 2)
+                for j in range(0, nuv0, size):
+                    kv = (None if kvsetuv is None
+                          else list(kvsetuv[j : j + size]))
+                    sv, sd, _ = self.dir_trans(u[j : j + size],
+                                               v[j : j + size], None,
+                                               kvsetuv=kv)
+                    sv_p.append(sv); sd_p.append(sd)
+            if nsc0:
+                size = max(1, npromatr)
+                for j in range(0, nsc0, size):
+                    ks = (None if kvsetsc is None
+                          else list(kvsetsc[j : j + size]))
+                    _, _, ss = self.dir_trans(None, None,
+                                              scalars[j : j + size],
+                                              kvsetsc=ks)
+                    ss_p.append(ss)
+            return (jnp.concatenate(sv_p) if sv_p else None,
+                    jnp.concatenate(sd_p) if sd_p else None,
+                    jnp.concatenate(ss_p) if ss_p else None)
         if u is None and scalars is None:
             raise ValueError("nothing to transform: pass u/v and/or scalars")
         for nm, arr in (("u", u), ("v", v), ("scalars", scalars)):

@@ -102,30 +102,55 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
     nfld_uv = spvor.shape[0] if spvor is not None else 0
     nfld_sc = spscalar.shape[0] if spscalar is not None else 0
 
-    def lt(dense):
-        sym, asym = layout.dense_to_parity(dense, tables)
-        return legendre_matmul.legendre_inv_grouped(sym, asym, gl)
-
-    out_groups = []  # ordered fourier tensors matching the PGP contract
-    uv_four = None
+    # All fields go through ONE grouped Legendre call: each separate call
+    # streams the full grouped P tables from HBM (~GBs at TCO1279), so
+    # batching vor/div/u/v/scalars/N-S-derivs into a single contraction is
+    # the TPU analogue of the GPU backend's all-m all-field grouped GEMM
+    # (gpu/internal/leinv_mod.F90:273-317) — table traffic is paid once and
+    # the per-matmul field dimension is maximal.
+    lt_inputs = []
     if nfld_uv:
         dvor = layout.packed_to_dense(spvor.astype(dtype), tables)
         ddiv = layout.packed_to_dense(spdiv.astype(dtype), tables)
         du, dv = spectral.vordiv_to_uv(dvor, ddiv, ct["vd"])
         if flags.vorgp:
-            out_groups.append(lt(dvor))
+            lt_inputs.append(dvor)
         if flags.divgp:
-            out_groups.append(lt(ddiv))
-        uv_four = lt(jnp.concatenate([du, dv], axis=0)) * racthe
+            lt_inputs.append(ddiv)
+        lt_inputs += [du, dv]
+    if nfld_sc:
+        dsc = layout.packed_to_dense(spscalar.astype(dtype), tables)
+        lt_inputs.append(dsc)
+        if flags.scders:
+            lt_inputs.append(spectral.ns_derivative(dsc, ct["nsd"]))
+    dense_all = (jnp.concatenate(lt_inputs, axis=0)
+                 if len(lt_inputs) > 1 else lt_inputs[0])
+    sym, asym = layout.dense_to_parity(dense_all, tables)
+    four_all = legendre_matmul.legendre_inv_grouped(sym, asym, gl)
+
+    off = 0
+
+    def take(n):
+        nonlocal off
+        s = four_all[off : off + n]
+        off += n
+        return s
+
+    out_groups = []  # ordered fourier tensors matching the PGP contract
+    uv_four = None
+    if nfld_uv:
+        if flags.vorgp:
+            out_groups.append(take(nfld_uv))
+        if flags.divgp:
+            out_groups.append(take(nfld_uv))
+        uv_four = take(2 * nfld_uv) * racthe
         out_groups.append(uv_four)
     sc_four = None
     if nfld_sc:
-        dsc = layout.packed_to_dense(spscalar.astype(dtype), tables)
-        sc_four = lt(dsc)
+        sc_four = take(nfld_sc)
         out_groups.append(sc_four)
         if flags.scders:
-            dnsd = spectral.ns_derivative(dsc, ct["nsd"])
-            out_groups.append(lt(dnsd) * racthe)
+            out_groups.append(take(nfld_sc) * racthe)
     if nfld_uv and flags.uvders:
         out_groups.append(_ew_derivative(uv_four, racthe))
     if nfld_sc and flags.scders:
@@ -266,39 +291,31 @@ def _chunk_pad(x, size):
 def _inv_packets(res, spvor, spdiv, spscalar, flags, dtype, fspgl_proc,
                  npromatr, _normalize):
     """NPROMATR packet loop: uv pairs then scalars, group-wise reassembly."""
+    from .field_layout import FieldLayout
+
     nuv = 0 if spvor is None else spvor.shape[0]
     nsc = 0 if spscalar is None else spscalar.shape[0]
-    parts = {k: [] for k in
-             ("vor", "div", "u", "v", "sc", "nsd", "ewu", "ewv", "ewsc")}
+    parts = {}
     if nuv:
         size = max(1, npromatr // 2)
         for (cv, real), (cd, _) in zip(_chunk_pad(spvor, size),
                                        _chunk_pad(spdiv, size)):
             out = inv_trans(res, cv, cd, None, flags=flags, dtype=dtype,
                             fspgl_proc=fspgl_proc, _normalize=_normalize)
-            i = 0
-            if flags.vorgp:
-                parts["vor"].append(out[i : i + real]); i += size
-            if flags.divgp:
-                parts["div"].append(out[i : i + real]); i += size
-            parts["u"].append(out[i : i + real]); i += size
-            parts["v"].append(out[i : i + real]); i += size
-            if flags.uvders:
-                parts["ewu"].append(out[i : i + real]); i += size
-                parts["ewv"].append(out[i : i + real]); i += size
+            fl = FieldLayout.inv(real, 0, flags, pad_uv=size)
+            for k, blk in fl.split(out).items():
+                parts.setdefault(k, []).append(blk)
     if nsc:
         size = max(1, npromatr)
         for csc, real in _chunk_pad(spscalar, size):
             out = inv_trans(res, None, None, csc, flags=flags, dtype=dtype,
                             fspgl_proc=fspgl_proc, _normalize=_normalize)
-            i = 0
-            parts["sc"].append(out[i : i + real]); i += size
-            if flags.scders:
-                parts["nsd"].append(out[i : i + real]); i += size
-                parts["ewsc"].append(out[i : i + real]); i += size
-    order = ("vor", "div", "u", "v", "sc", "nsd", "ewu", "ewv", "ewsc")
-    groups = [jnp.concatenate(parts[k], axis=0) for k in order if parts[k]]
-    return jnp.concatenate(groups, axis=0)
+            fl = FieldLayout.inv(0, real, flags, pad_sc=size)
+            for k, blk in fl.split(out).items():
+                parts.setdefault(k, []).append(blk)
+    order = FieldLayout.inv(nuv, nsc, flags).names
+    return jnp.concatenate(
+        [jnp.concatenate(parts[k], axis=0) for k in order], axis=0)
 
 
 def dir_trans(
