@@ -89,6 +89,99 @@ def _legendre_flops_per_dir(res, gl, nfld):
     return padded, logical
 
 
+def _stage_time(fn, iters, rtt, x, *extra):
+    """Chained wall time of fn(x, *extra): a non-foldable scalar dependency
+    (d*1e-30 added to x) serialises iterations; one 1-element fetch ends the
+    chain (block_until_ready is unreliable on axon — see BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(d, x, *extra):
+        out = fn(x + d.astype(x.dtype) * jnp.asarray(1e-30, x.dtype), *extra)
+        leaves = jax.tree_util.tree_leaves(out)
+        s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+        return s * jnp.float32(1e-30)
+
+    d = jnp.zeros((), jnp.float32)
+    d = step(d, x, *extra)
+    np.asarray(d)  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d = step(d, x, *extra)
+    np.asarray(d)
+    return max(0.0, time.perf_counter() - t0 - rtt) / iters
+
+
+def stage_profile(res, dtype="float32"):
+    """Attribute the non-Legendre/non-FFT ('other') time: per-stage chained
+    timings of every layout/spectral/elementwise stage of the round trip at
+    the bench's field counts (VDTUV/SPNSDE/FSC and the packed<->dense<->
+    parity relayouts, reference trmtol_pack_unpack.F90 analogues)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ectrans_tpu.ops import layout, spectral
+    from ectrans_tpu import transform as T
+
+    dt = jnp.dtype(dtype)
+    tables = res.device_tables(dt)
+    ct = T._coeff_tables(res, str(dt))
+    rng = np.random.default_rng(2)
+    M, NP, K, ndgl = res.M, res.NP, res.kmax, res.ndgl
+    F_packed = 2 * NFLD_UV + NFLD_SC           # 10 packed spectral fields
+    F_lt = 2 * NFLD_UV + 2 * NFLD_SC           # 16 through the inverse LT
+    F_out = 2 * NFLD_UV + 3 * NFLD_SC + 2 * NFLD_UV  # 26 synthesis fields
+
+    def rnd(*shape):
+        return jnp.asarray(rng.standard_normal(shape), dt)
+
+    spec = rnd(F_packed, res.nspec2)
+    dense_uv = rnd(NFLD_UV, 2, M, NP)
+    dense_sc = rnd(NFLD_SC, 2, M, NP)
+    dense_lt = rnd(F_lt, 2, M, NP)
+    dense_dir = rnd(F_packed, 2, M, NP)
+    four_lt = rnd(F_lt, 2, M, ndgl)
+    sym = rnd(F_packed, 2, M, K)
+
+    rtt = _rtt(jnp.zeros((1,), dt))
+    it = 6
+
+    def fsc_concat(four_all, racthe):
+        # the inverse FSC stage: slice + 1/(a cos) scalings + E-W derivs +
+        # output-group concat (transform._inv_impl after the LT)
+        r = racthe[None, None, None, :]
+        uvf = four_all[: 2 * NFLD_UV] * r
+        scf = four_all[2 * NFLD_UV : 2 * NFLD_UV + NFLD_SC]
+        nsdf = four_all[2 * NFLD_UV + NFLD_SC :] * r
+        return jnp.concatenate(
+            [uvf, scf, nsdf, T._ew_derivative(uvf, r),
+             T._ew_derivative(scf, r)], axis=0)
+
+    stages = {
+        "packed_to_dense": _stage_time(
+            layout.packed_to_dense, it, rtt, spec, tables),
+        "vdtuv": _stage_time(
+            lambda v, d, t: spectral.vordiv_to_uv(v, d, t), it, rtt,
+            dense_uv, dense_uv, ct["vd"]),
+        "spnsde": _stage_time(
+            spectral.ns_derivative, it, rtt, dense_sc, ct["nsd"]),
+        "dense_to_parity": _stage_time(
+            layout.dense_to_parity, it, rtt, dense_lt, tables),
+        "fsc_ew_concat": _stage_time(
+            fsc_concat, it, rtt, four_lt, tables.racthe),
+        "parity_to_dense": _stage_time(
+            lambda s, t: layout.parity_to_dense(s, s, t, NP), it, rtt,
+            sym, tables),
+        "uvtvd": _stage_time(
+            lambda u, v, t: spectral.uv_to_vordiv(u, v, t), it, rtt,
+            dense_uv, dense_uv, ct["uvtvd"]),
+        "dense_to_packed": _stage_time(
+            layout.dense_to_packed, it, rtt, dense_dir, tables),
+    }
+    return {k: round(v * 1e3, 2) for k, v in stages.items()}
+
+
 def phase_profile(res, dtype="float32"):
     """Per-phase chained timings + Legendre MXU utilization at the bench's
     field counts (inv: 16 fields through LT, 26 through synthesis;
@@ -214,6 +307,8 @@ def run(config: str, profile_phases: bool):
     nfld_total = 2 * NFLD_UV + NFLD_SC  # u, v, scalars transformed both ways
     gpps = res.grid.ngptot * nfld_total / dt
     phases = phase_profile(res) if profile_phases else None
+    if phases is not None and os.environ.get("ECTRANS_BENCH_STAGES", "1") != "0":
+        phases["stages_ms"] = stage_profile(res)
     return gpps, dt, err, gate, phases
 
 

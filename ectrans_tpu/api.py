@@ -80,6 +80,100 @@ class SpectralTransform:
         return transform.dir_trans(self.res, u, v, scalars, dtype=self.dtype,
                                    npromatr=npromatr)
 
+    # -- callmode-2 (split-array) adapters --------------------------------
+    # The reference supports two calling conventions (dir_trans.F90:69-92,
+    # ectrans-benchmark.F90:1175-1179): callmode 1 = combined PGP/PSPSCALAR
+    # arrays (the native surface here), callmode 2 = split families
+    # PGPUV/PGP3A/PGP3B/PGP2 <-> PSPSC3A/PSPSC3B/PSPSC2.  The composite
+    # scalar ordering is pinned by ltinv_mod.F90:173-196: SC2 fields first,
+    # then SC3A variable-major (levels contiguous per variable), then SC3B.
+
+    def inv_trans_split(self, spvor=None, spdiv=None, spsc3a=None,
+                        spsc3b=None, spsc2=None,
+                        flags: InvFlags = InvFlags(), **kw):
+        """Split-array inverse transform (callmode 2).
+
+        spvor/spdiv: (nlev_uv, nspec2); spsc3a/spsc3b: (nfld, nlev, nspec2);
+        spsc2: (nfld2, nspec2).  Returns a dict with grid families
+        ``u, v`` (nlev_uv, ndgl, ndlon), ``sc2`` (nfld2, ndgl, ndlon),
+        ``sc3a/sc3b`` (nfld, nlev, ndgl, ndlon) and, per flags, ``vor, div,
+        nsd2/nsd3a/nsd3b, ewu, ewv, ewsc2/ewsc3a/ewsc3b``.
+        """
+        parts, splits = [], []
+        for name, arr in (("sc2", spsc2), ("sc3a", spsc3a), ("sc3b", spsc3b)):
+            if arr is None:
+                continue
+            flat = jnp.reshape(jnp.asarray(arr), (-1, self.res.nspec2))
+            parts.append(flat)
+            splits.append((name, arr.shape, flat.shape[0]))
+        spscalar = jnp.concatenate(parts, axis=0) if parts else None
+        grid = self.inv_trans(spvor, spdiv, spscalar, flags=flags, **kw)
+        nuv = 0 if spvor is None else spvor.shape[0]
+        nsc = 0 if spscalar is None else spscalar.shape[0]
+        out = {}
+        off = 0
+
+        def take(n):
+            nonlocal off
+            blk = grid[off : off + n]
+            off += n
+            return blk
+
+        def split_sc(blk, suffix=""):
+            o = 0
+            for name, shape, n in splits:
+                fam = blk[o : o + n]
+                o += n
+                out[suffix + name] = (
+                    fam if len(shape) == 2
+                    else jnp.reshape(fam, shape[:2] + fam.shape[1:]))
+
+        if nuv:
+            if flags.vorgp:
+                out["vor"] = take(nuv)
+            if flags.divgp:
+                out["div"] = take(nuv)
+            out["u"] = take(nuv)
+            out["v"] = take(nuv)
+        if nsc:
+            split_sc(take(nsc))
+            if flags.scders:
+                split_sc(take(nsc), "nsd")
+        if nuv and flags.uvders:
+            out["ewu"] = take(nuv)
+            out["ewv"] = take(nuv)
+        if nsc and flags.scders:
+            split_sc(take(nsc), "ew")
+        return out
+
+    def dir_trans_split(self, u=None, v=None, gp3a=None, gp3b=None,
+                        gp2=None, **kw):
+        """Split-array direct transform (callmode 2).
+
+        u/v: (nlev_uv, ndgl, ndlon); gp3a/gp3b: (nfld, nlev, ndgl, ndlon);
+        gp2: (nfld2, ndgl, ndlon).  Returns (spvor, spdiv, dict with
+        ``sc2`` (nfld2, nspec2) / ``sc3a``/``sc3b`` (nfld, nlev, nspec2)).
+        """
+        parts, splits = [], []
+        for name, arr in (("sc2", gp2), ("sc3a", gp3a), ("sc3b", gp3b)):
+            if arr is None:
+                continue
+            flat = jnp.reshape(
+                jnp.asarray(arr),
+                (-1,) + tuple(arr.shape[-2:]))
+            parts.append(flat)
+            splits.append((name, arr.shape, flat.shape[0]))
+        scalars = jnp.concatenate(parts, axis=0) if parts else None
+        spvor, spdiv, spsc = self.dir_trans(u, v, scalars, **kw)
+        out = {}
+        o = 0
+        for name, shape, n in splits:
+            fam = spsc[o : o + n]
+            o += n
+            out[name] = (fam if len(shape) == 3
+                         else jnp.reshape(fam, shape[:2] + fam.shape[1:]))
+        return spvor, spdiv, out
+
     def inv_trans_adj(self, grid_ad, nfld_uv=0, nfld_sc=0,
                       flags: InvFlags = InvFlags()):
         return adjoint.inv_trans_adj(
@@ -212,18 +306,36 @@ class SpectralTransform:
         # grid space is decomposed over w*v shards (ndgl_pad/(w*v) latitude
         # rows each) — NGPTOTMX is the max gridpoint count over THOSE blocks
         LLg = d.ndgl_pad // (d.w * d.v)
-        ngptot_shard = max(
-            sum(res.grid.nloen[l] for l in range(i0, min(i0 + LLg, res.ndgl)))
-            for i0 in range(0, d.ndgl_pad, LLg)
-        )
+        nfrstlat, nlstlat, ngptotl = [], [], []
+        for i0 in range(0, d.ndgl_pad, LLg):
+            i1 = min(i0 + LLg, res.ndgl)
+            nfrstlat.append(min(i0, res.ndgl))
+            nlstlat.append(max(i1 - 1, min(i0, res.ndgl)))
+            ngptotl.append(sum(res.grid.nloen[l] for l in range(min(i0, res.ndgl), i1)))
+        # latitude -> owning shard maps (reference NPROCL, trans_inq.F90):
+        # Fourier space owns whole-w-set blocks of LL rows; grid space owns
+        # (w, v)-flattened blocks of LLg rows
+        LL = d.LL
+        nprocl_fs = np.minimum(np.arange(res.ndgl) // LL, d.w - 1)
+        nprocl_grid = np.minimum(np.arange(res.ndgl) // LLg, d.w * d.v - 1)
         return {
             "nprtrw": d.w,
             "nprtrv": d.v,
             "numpp": np.asarray(numpp),
             "myms_w": tuple(myms),
             "nspec2_w": np.asarray(nspec2_w),
-            "ngptotmx": ngptot_shard,
+            "ngptotmx": max(ngptotl),
+            # Fourier-space latitude ownership (NULTPP/NPTRLS/NPROCL):
+            # w-set s owns the LL contiguous (padded) rows starting at s*LL
             "nultpp": np.asarray([LL] * d.w),
+            "nptrls": np.arange(0, d.ndgl_pad, LL),
+            "nprocl": nprocl_fs,
+            # grid-space latitude ownership over the w*v shard axis
+            # (NFRSTLAT/NLSTLAT/NGPTOTL analogues; 0-based rows)
+            "nfrstlat": np.asarray(nfrstlat),
+            "nlstlat": np.asarray(nlstlat),
+            "ngptotl": np.asarray(ngptotl),
+            "nprocl_grid": nprocl_grid,
         }
 
     def release(self):

@@ -40,6 +40,38 @@ def test_inquire():
     assert q["nasm0"][1] == 2 * 48  # after full m=0 block
 
 
+def test_inquire_distributed():
+    """Mesh-attached TRANS_INQ long tail (trans_inq.F90): w/v echo, per-set
+    wave lists, and the latitude-ownership arrays NULTPP/NPTRLS/NPROCL/
+    NFRSTLAT/NLSTLAT/NGPTOTL."""
+    st = SpectralTransform("O48", 47, mesh=make_mesh(4, 2))
+    q = st.inquire()
+    res = st.res
+    assert q["nprtrw"] == 4 and q["nprtrv"] == 2
+    # every m owned exactly once across w-sets
+    owned = sorted(m for ms in q["myms_w"] for m in ms)
+    assert owned == list(range(res.M))
+    assert int(np.sum(q["numpp"])) == res.M
+    # spectral sizes per w-set sum to the global nspec2
+    assert int(np.sum(q["nspec2_w"])) == res.nspec2
+    # Fourier-space latitude ownership covers all latitudes
+    assert q["nultpp"].shape == (4,)
+    assert int(q["nultpp"].sum()) >= res.ndgl
+    assert q["nprocl"].shape == (res.ndgl,)
+    assert q["nprocl"].max() <= 3
+    # grid-space blocks: contiguous, cover all latitudes, gp counts sum
+    assert q["nfrstlat"].shape == q["nlstlat"].shape == q["ngptotl"].shape
+    assert int(np.sum(q["ngptotl"])) == res.grid.ngptot
+    assert q["ngptotmx"] == int(np.max(q["ngptotl"]))
+    assert q["nprocl_grid"].shape == (res.ndgl,)
+    for s in range(len(q["ngptotl"])):
+        rows = np.where(q["nprocl_grid"] == s)[0]
+        if len(rows):
+            assert rows[0] >= q["nfrstlat"][s]
+            assert int(q["ngptotl"][s]) == sum(
+                res.grid.nloen[r] for r in rows)
+
+
 def test_trans_pnm():
     """legendre_polynomials(m) matches scipy at both hemispheres."""
     from math import factorial
