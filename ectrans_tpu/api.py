@@ -41,9 +41,15 @@ class SpectralTransform:
         radius: float = EARTH_RADIUS,
         stretch: float = 1.0,
         dtype=jnp.float32,
+        precision: str = "highest",
     ):
+        """precision: Legendre-contraction tier — "highest" (full fp32
+        mantissa), "high" (3-pass bf16 split, inside the reference's
+        100*eps benchmark gate), or "bf16" (single-pass; the measured
+        low-precision mode, reference FLT gate precedent 1e6*eps)."""
         self.res: Resolution = setup(grid, nsmax, radius, stretch)
         self.dtype = jnp.dtype(dtype)
+        self.precision = precision
         self.mesh = mesh
         self._sharded = None
         if mesh is not None:
@@ -67,6 +73,7 @@ class SpectralTransform:
         return transform.inv_trans(
             self.res, spvor, spdiv, spscalar, flags=flags, dtype=self.dtype,
             npromatr=npromatr, fspgl_proc=fspgl_proc,
+            precision=self.precision,
         )
 
     def dir_trans(self, u=None, v=None, scalars=None, npromatr=None,
@@ -78,7 +85,7 @@ class SpectralTransform:
             raise ValueError("kvsetuv/kvsetsc require a mesh-attached "
                              "SpectralTransform (distributed field ownership)")
         return transform.dir_trans(self.res, u, v, scalars, dtype=self.dtype,
-                                   npromatr=npromatr)
+                                   npromatr=npromatr, precision=self.precision)
 
     # -- callmode-2 (split-array) adapters --------------------------------
     # The reference supports two calling conventions (dir_trans.F90:69-92,

@@ -15,6 +15,8 @@ also covers the reference's fp64-for-m=0 mass-conservation concern
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,54 @@ import jax.numpy as jnp
 # single-pass einsum loses ~3 decimal digits, which fails the reference's
 # eps-multiple correctness gates.  Pass precision=jax.lax.Precision.DEFAULT
 # explicitly for a fast bf16 mode.
+
+# Public precision tiers (the API-level knob; VERDICT round-2 item 5):
+#   "highest" — full fp32-mantissa coverage (XLA HIGHEST / pallas bf16x6)
+#   "high"    — 3-pass bf16 split, ~2^-21 relative, inside the reference's
+#               100*eps(fp32) benchmark gate at half the MXU passes
+#   "bf16"    — single bf16 pass; the measured low-precision mode, gated at
+#               the reference's FLT precedent (1e6*eps,
+#               tests/CMakeLists.txt:316)
+_XLA_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
+_PALLAS_MODE = {"highest": "bf16x6", "high": "bf16x3", "bf16": "bf16"}
+
+
+def _use_pallas() -> bool:
+    kern = os.environ.get("ECTRANS_TPU_LEG_KERNEL", "auto")
+    if kern == "xla":
+        return False
+    from . import legendre_pallas
+
+    if kern == "pallas":
+        return True
+    # auto: the pallas streaming kernels are the measured-faster path on
+    # the TPU backend; XLA einsums elsewhere (CPU tests, interpret)
+    return legendre_pallas.supported()
+
+
+def inv_grouped(sym, asym, gl, precision: str = "highest"):
+    """Grouped inverse LT at a named precision tier, dispatching between
+    the XLA einsum formulation and the Pallas HBM-streaming kernels."""
+    if _use_pallas():
+        from . import legendre_pallas
+
+        return legendre_pallas.legendre_inv_grouped(
+            sym, asym, gl, mode=_PALLAS_MODE[precision])
+    return legendre_inv_grouped(sym, asym, gl, precision=_XLA_PREC[precision])
+
+
+def dir_grouped(fourier, gl, w, precision: str = "highest"):
+    """Grouped direct LT at a named precision tier (see inv_grouped)."""
+    if _use_pallas():
+        from . import legendre_pallas
+
+        return legendre_pallas.legendre_dir_grouped(
+            fourier, gl, w, mode=_PALLAS_MODE[precision])
+    return legendre_dir_grouped(fourier, gl, w, precision=_XLA_PREC[precision])
 
 
 def legendre_inv(sym, asym, tables, precision=jax.lax.Precision.HIGHEST):

@@ -1,0 +1,230 @@
+"""Pallas grouped-GEMM Legendre transforms (HBM-streaming MXU kernels).
+
+The grouped Legendre contraction is bandwidth-bound, not FLOP-bound: at
+TCO1279 the grouped P̄ tables are ~1.6 GB and each transform direction
+streams them exactly once, while the arithmetic intensity is only
+``2 * nfld2 / 4 ≈ 16`` FLOP/byte — far below the fp32 MXU ridge.  The XLA
+batched-einsum formulation reaches only ~20% of HBM bandwidth on this
+backend; these kernels stream the tables through VMEM with the Pallas
+pipeline (double-buffered block fetches) and keep the small per-m
+coefficient blocks resident, so the table read runs at full bandwidth.
+
+Reference counterpart: the grouped GEMMs of the GPU backend
+(``gpu/internal/leinv_mod.F90:273-317``, ``ledir_mod.F90:126-175``), which
+batch all fields of all m into single device GEMM streams for the same
+reason.
+
+Precision: the MXU is a bf16 systolic array; fp32 contractions are built
+from bf16 passes.  ``mode``:
+
+- ``"bf16x3"`` (default): split both operands into (hi, lo) bf16 and take
+  the three significant cross products — ~2^-21 relative error, well
+  inside the reference's 100*eps(fp32) correctness gate, at half the MXU
+  passes of XLA's ``Precision.HIGHEST`` (6 passes).
+- ``"bf16"``: single bf16 pass (the measured low-precision mode; the
+  reference's own FLT precedent gates such paths at 1e6*eps,
+  ``tests/CMakeLists.txt:316``).
+- ``"f32"``: native f32 dot (Mosaic chooses the pass count) — used on CPU
+  / interpret mode where the MXU model does not apply.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+TILE_I = 512   # latitude-tile (lane) extent streamed per grid step
+TILE_K = 512   # coefficient-tile extent for the direct kernel
+
+
+def supported() -> bool:
+    """Pallas TPU kernels need a real TPU-like backend."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _split_bf16(x, parts=2):
+    """Split fp32 into `parts` bf16 terms summing (approximately) to x."""
+    out = []
+    rem = x
+    for _ in range(parts - 1):
+        hi = rem.astype(jnp.bfloat16)
+        rem = rem - hi.astype(jnp.float32)
+        out.append(hi)
+    out.append(rem.astype(jnp.bfloat16))
+    return out
+
+
+def _dot(a, b, dn, mode):
+    """fp32-accumulated contraction of a and b via bf16 MXU passes."""
+    f32 = jnp.float32
+    if mode == "f32":
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32)
+    if mode == "bf16":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
+            preferred_element_type=f32)
+    if mode == "bf16x3":
+        ahi, alo = _split_bf16(a)
+        bhi, blo = _split_bf16(b)
+        acc = jax.lax.dot_general(ahi, bhi, dn, preferred_element_type=f32)
+        acc = acc + jax.lax.dot_general(ahi, blo, dn, preferred_element_type=f32)
+        acc = acc + jax.lax.dot_general(alo, bhi, dn, preferred_element_type=f32)
+        return acc
+    if mode == "bf16x6":
+        # 3-way split, keeping every product above 2^-24 relative:
+        # hh, hm, mh, hl, lh, mm — full fp32-mantissa coverage
+        a0, a1, a2 = _split_bf16(a, 3)
+        b0, b1, b2 = _split_bf16(b, 3)
+        acc = jax.lax.dot_general(a0, b0, dn, preferred_element_type=f32)
+        for x, y in ((a0, b1), (a1, b0), (a0, b2), (a2, b0), (a1, b1)):
+            acc = acc + jax.lax.dot_general(x, y, dn, preferred_element_type=f32)
+        return acc
+    raise ValueError(f"unknown pallas LT mode {mode!r}")
+
+
+# Inverse: contract k with the stored (ig, kg) tile — rhs-transposed dot
+# (keeps ONE stored table layout for both directions; the direct kernel
+# gets the natural (k-last-contracted-first) orientation).
+_DN_T = (((1,), (1,)), ((), ()))
+# Direct: contract i, natural orientation.
+_DN_N = (((1,), (0,)), ((), ()))
+
+
+def _inv_kernel(s_ref, a_ref, ps_ref, pa_ref, n_ref, so_ref, *, mode):
+    sm = s_ref[:, 0, :]           # (fc2, kg) resident coefficients for m
+    am = a_ref[:, 0, :]
+    ps = ps_ref[0]                # (TILE_I, kg) streamed table tile
+    pa = pa_ref[0]
+    fs = _dot(sm, ps, _DN_T, mode)
+    fa = _dot(am, pa, _DN_T, mode)
+    dt = n_ref.dtype
+    n_ref[:, 0, :] = (fs + fa).astype(dt)
+    so_ref[:, 0, :] = (fs - fa).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def group_inv(sym, asym, psym, pasym, mode="bf16x3", interpret=False):
+    """One group's inverse LT: (fc2, gm, kg) coeffs x (gm, ig, kg) tables
+    -> (north, south) each (fc2, gm, ig); south NOT latitude-reversed."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fc2, gm, kg = sym.shape
+    ig = psym.shape[1]
+    ti = min(TILE_I, ig)
+    grid = (gm, pl.cdiv(ig, ti))
+    out = jax.ShapeDtypeStruct((fc2, gm, ig), sym.dtype)
+    kern = functools.partial(_inv_kernel, mode=mode)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fc2, 1, kg), lambda m, it: (0, m, 0)),
+            pl.BlockSpec((fc2, 1, kg), lambda m, it: (0, m, 0)),
+            pl.BlockSpec((1, ti, kg), lambda m, it: (m, it, 0)),
+            pl.BlockSpec((1, ti, kg), lambda m, it: (m, it, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((fc2, 1, ti), lambda m, it: (0, m, it)),
+            pl.BlockSpec((fc2, 1, ti), lambda m, it: (0, m, it)),
+        ],
+        out_shape=[out, out],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(sym, asym, psym, pasym)
+
+
+def _dir_kernel(fs_ref, fa_ref, ps_ref, pa_ref, s_ref, a_ref, *, mode):
+    fs = fs_ref[:, 0, :]          # (fc2, ig) quadrature-weighted fourier
+    fa = fa_ref[:, 0, :]
+    ps = ps_ref[0]                # (ig, TILE_K)
+    pa = pa_ref[0]
+    dt = s_ref.dtype
+    s_ref[:, 0, :] = _dot(fs, ps, _DN_N, mode).astype(dt)
+    a_ref[:, 0, :] = _dot(fa, pa, _DN_N, mode).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def group_dir(fsym, fasym, psym, pasym, mode="bf16x3", interpret=False):
+    """One group's direct LT: (fc2, gm, ig) weighted fourier x (gm, ig, kg)
+    tables -> (sym, asym) each (fc2, gm, kg)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fc2, gm, ig = fsym.shape
+    kg = psym.shape[2]
+    tk = min(TILE_K, kg)
+    grid = (gm, pl.cdiv(kg, tk))
+    out = jax.ShapeDtypeStruct((fc2, gm, kg), fsym.dtype)
+    kern = functools.partial(_dir_kernel, mode=mode)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fc2, 1, ig), lambda m, it: (0, m, 0)),
+            pl.BlockSpec((fc2, 1, ig), lambda m, it: (0, m, 0)),
+            pl.BlockSpec((1, ig, tk), lambda m, it: (m, 0, it)),
+            pl.BlockSpec((1, ig, tk), lambda m, it: (m, 0, it)),
+        ],
+        out_specs=[
+            pl.BlockSpec((fc2, 1, tk), lambda m, it: (0, m, it)),
+            pl.BlockSpec((fc2, 1, tk), lambda m, it: (0, m, it)),
+        ],
+        out_shape=[out, out],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(fsym, fasym, psym, pasym)
+
+
+def legendre_inv_grouped(sym, asym, gl, mode="bf16x3", interpret=False):
+    """Drop-in Pallas replacement of
+    :func:`legendre_matmul.legendre_inv_grouped` (same contract: sym/asym
+    (nfld, 2, M, kmax) -> fourier (nfld, 2, M, ndgl) north->south)."""
+    nfld = sym.shape[0]
+    parts = []
+    for g in gl.groups:
+        fc2 = 2 * nfld
+        gm = g.m1 - g.m0
+        s = sym[:, :, g.m0:g.m1, :g.kg].reshape(fc2, gm, g.kg)
+        a = asym[:, :, g.m0:g.m1, :g.kg].reshape(fc2, gm, g.kg)
+        north, south = group_inv(s, a, g.psym, g.pasym,
+                                 mode=mode, interpret=interpret)
+        north = north.reshape(nfld, 2, gm, -1)
+        south = south.reshape(nfld, 2, gm, -1)[..., ::-1]
+        pad = [(0, 0)] * 3
+        parts.append(jnp.concatenate(
+            [jnp.pad(north, pad + [(g.i0, 0)]),
+             jnp.pad(south, pad + [(0, g.i0)])], axis=-1))
+    return jnp.concatenate(parts, axis=2)
+
+
+def legendre_dir_grouped(fourier, gl, w, mode="bf16x3", interpret=False):
+    """Drop-in Pallas replacement of
+    :func:`legendre_matmul.legendre_dir_grouped` (fourier (nfld, 2, M,
+    ndgl) north->south + NH weights -> (sym, asym) (nfld, 2, M, kmax))."""
+    nfld = fourier.shape[0]
+    ndgnh, kmax = gl.ndgnh, gl.kmax
+    north_all = fourier[..., :ndgnh]
+    south_all = fourier[..., : ndgnh - 1 : -1]
+    fsym_all = (north_all + south_all) * w
+    fasym_all = (north_all - south_all) * w
+    fsym_all, fasym_all = jax.lax.optimization_barrier((fsym_all, fasym_all))
+    syms, asyms = [], []
+    for g in gl.groups:
+        fc2 = 2 * nfld
+        gm = g.m1 - g.m0
+        fs = fsym_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1)
+        fa = fasym_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1)
+        s, a = group_dir(fs, fa, g.psym, g.pasym,
+                         mode=mode, interpret=interpret)
+        pad = [(0, 0)] * 3 + [(0, kmax - g.kg)]
+        syms.append(jnp.pad(s.reshape(nfld, 2, gm, g.kg), pad))
+        asyms.append(jnp.pad(a.reshape(nfld, 2, gm, g.kg), pad))
+    return jnp.concatenate(syms, axis=2), jnp.concatenate(asyms, axis=2)

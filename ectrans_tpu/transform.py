@@ -94,9 +94,10 @@ def _check_grid_arg(name, arr, res):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("flags", "fspgl_proc", "normalize"))
+@functools.partial(jax.jit, static_argnames=("flags", "fspgl_proc", "normalize",
+                                             "precision"))
 def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
-              fspgl_proc=None, normalize=True):
+              fspgl_proc=None, normalize=True, precision="highest"):
     dtype = tables.racthe.dtype
     racthe = tables.racthe[None, None, None, :]  # broadcast over (f, c, m, lat)
     nfld_uv = spvor.shape[0] if spvor is not None else 0
@@ -126,7 +127,7 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
     dense_all = (jnp.concatenate(lt_inputs, axis=0)
                  if len(lt_inputs) > 1 else lt_inputs[0])
     sym, asym = layout.dense_to_parity(dense_all, tables)
-    four_all = legendre_matmul.legendre_inv_grouped(sym, asym, gl)
+    four_all = legendre_matmul.inv_grouped(sym, asym, gl, precision=precision)
 
     off = 0
 
@@ -195,8 +196,8 @@ def _dir_ana_impl(tables, bt, u, v, scalars, normalize=True):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc"))
-def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc):
+@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc", "precision"))
+def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc, precision="highest"):
     NP = tables.dense_gather.shape[2]
     ndgnh = gl.ndgnh
     if nfld_uv:
@@ -204,7 +205,8 @@ def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc):
         racthe = tables.racthe[None, None, None, :]
         uvpart = four[: 2 * nfld_uv] * racthe
         four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
-    sym, asym = legendre_matmul.legendre_dir_grouped(four, gl, tables.w[:ndgnh])
+    sym, asym = legendre_matmul.dir_grouped(four, gl, tables.w[:ndgnh],
+                                            precision=precision)
     dense = layout.parity_to_dense(sym, asym, tables, NP)
     spvor = spdiv = spsc = None
     if nfld_uv:
@@ -218,10 +220,12 @@ def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc):
     return spvor, spdiv, spsc
 
 
-def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True):
+def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True,
+              precision="highest"):
     four = _dir_ana_impl(tables, bt, u, v, scalars, normalize)
     nfld_uv = u.shape[0] if u is not None else 0
-    return _dir_lt_impl(tables, gl, ct, four, nfld_uv, scalars is not None)
+    return _dir_lt_impl(tables, gl, ct, four, nfld_uv, scalars is not None,
+                        precision=precision)
 
 
 def inv_trans(
@@ -234,6 +238,7 @@ def inv_trans(
     dtype=jnp.float32,
     fspgl_proc=None,
     npromatr: int | None = None,
+    precision: str = "highest",
     _normalize=True,
 ):
     """Inverse transform: packed spectral arrays -> grid fields.
@@ -265,14 +270,14 @@ def inv_trans(
     nsc = 0 if spscalar is None else spscalar.shape[0]
     if npromatr and 2 * nuv + nsc > npromatr:
         return _inv_packets(res, spvor, spdiv, spscalar, flags, dtype,
-                            fspgl_proc, npromatr, _normalize)
+                            fspgl_proc, npromatr, precision, _normalize)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
     gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
     return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
-                     fspgl_proc, _normalize)
+                     fspgl_proc, _normalize, precision)
 
 
 def _chunk_pad(x, size):
@@ -289,7 +294,7 @@ def _chunk_pad(x, size):
 
 
 def _inv_packets(res, spvor, spdiv, spscalar, flags, dtype, fspgl_proc,
-                 npromatr, _normalize):
+                 npromatr, precision, _normalize):
     """NPROMATR packet loop: uv pairs then scalars, group-wise reassembly."""
     from .field_layout import FieldLayout
 
@@ -301,7 +306,8 @@ def _inv_packets(res, spvor, spdiv, spscalar, flags, dtype, fspgl_proc,
         for (cv, real), (cd, _) in zip(_chunk_pad(spvor, size),
                                        _chunk_pad(spdiv, size)):
             out = inv_trans(res, cv, cd, None, flags=flags, dtype=dtype,
-                            fspgl_proc=fspgl_proc, _normalize=_normalize)
+                            fspgl_proc=fspgl_proc, precision=precision,
+                            _normalize=_normalize)
             fl = FieldLayout.inv(real, 0, flags, pad_uv=size)
             for k, blk in fl.split(out).items():
                 parts.setdefault(k, []).append(blk)
@@ -309,7 +315,8 @@ def _inv_packets(res, spvor, spdiv, spscalar, flags, dtype, fspgl_proc,
         size = max(1, npromatr)
         for csc, real in _chunk_pad(spscalar, size):
             out = inv_trans(res, None, None, csc, flags=flags, dtype=dtype,
-                            fspgl_proc=fspgl_proc, _normalize=_normalize)
+                            fspgl_proc=fspgl_proc, precision=precision,
+                            _normalize=_normalize)
             fl = FieldLayout.inv(0, real, flags, pad_sc=size)
             for k, blk in fl.split(out).items():
                 parts.setdefault(k, []).append(blk)
@@ -326,6 +333,7 @@ def dir_trans(
     *,
     dtype=jnp.float32,
     npromatr: int | None = None,
+    precision: str = "highest",
     _normalize=True,
 ):
     """Direct transform: grid fields -> packed spectral arrays.
@@ -352,11 +360,13 @@ def dir_trans(
             for (cu, real), (cv, _) in zip(_chunk_pad(u, size),
                                            _chunk_pad(v, size)):
                 sv, sd, _ = dir_trans(res, cu, cv, None, dtype=dtype,
+                                      precision=precision,
                                       _normalize=_normalize)
                 sv_p.append(sv[:real]); sd_p.append(sd[:real])
         if nsc:
             for csc, real in _chunk_pad(scalars, max(1, npromatr)):
                 _, _, ss = dir_trans(res, None, None, csc, dtype=dtype,
+                                     precision=precision,
                                      _normalize=_normalize)
                 ss_p.append(ss[:real])
         return (jnp.concatenate(sv_p) if sv_p else None,
@@ -367,4 +377,4 @@ def dir_trans(
     gl = res.grouped_legendre(str(dtype))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
-    return _dir_impl(tables, gl, ct, bt, u, v, scalars, _normalize)
+    return _dir_impl(tables, gl, ct, bt, u, v, scalars, _normalize, precision)
