@@ -33,7 +33,7 @@ _JDT = jnp.dtype(_DTYPE)
 from .compat4py import _pack_reduced, _unpack_reduced
 from .norms import specnorm as _specnorm
 from .resolution import setup as _setup
-from .transform import dir_trans, inv_trans
+from .transform import InvFlags, dir_trans, inv_trans
 
 _RESOLUTIONS: dict[int, object] = {}
 _NEXT = [0]
@@ -44,12 +44,42 @@ def _wrap(ptr: int, n: int) -> np.ndarray:
     return np.ctypeslib.as_array(buf)
 
 
-def setup(grid: str, nsmax: int) -> int:
-    res = _setup(grid, None if nsmax < 0 else nsmax)
+_DEFAULT_RADIUS = [0.0]  # 0 = library default (Earth); trans_set_radius analogue
+
+
+def set_radius(radius: float):
+    """Global planet-radius override applied to subsequent setups (the
+    reference's ``trans_set_radius``, ``transi.h:131``)."""
+    _DEFAULT_RADIUS[0] = float(radius)
+    return 0
+
+
+def _register(res) -> int:
     h = _NEXT[0]
     _NEXT[0] += 1
     _RESOLUTIONS[h] = res
     return h
+
+
+def setup(grid: str, nsmax: int) -> int:
+    kw = {}
+    if _DEFAULT_RADIUS[0] > 0.0:
+        kw["radius"] = _DEFAULT_RADIUS[0]
+    return _register(_setup(grid, None if nsmax < 0 else nsmax, **kw))
+
+
+def setup_ex(grid: str, nsmax: int, radius: float, stretch: float) -> int:
+    """Per-resolution setup with explicit radius and Schmidt stretching
+    (reference SETUP_TRANS PRESOL radius + PSTRET, ``setup_trans.F90``).
+    radius <= 0 / stretch <= 0 select the defaults."""
+    kw = {}
+    if radius > 0.0:
+        kw["radius"] = radius
+    elif _DEFAULT_RADIUS[0] > 0.0:
+        kw["radius"] = _DEFAULT_RADIUS[0]
+    if stretch > 0.0:
+        kw["stretch"] = stretch
+    return _register(_setup(grid, None if nsmax < 0 else nsmax, **kw))
 
 
 def _res(handle: int):
@@ -124,6 +154,59 @@ def dirtrans_vordiv(handle: int, nfld: int, u_ptr: int, v_ptr: int,
                                 dtype=_JDT)
     _wrap(vor_ptr, nfld * res.nspec2)[:] = np.asarray(spvor).ravel()
     _wrap(div_ptr, nfld * res.nspec2)[:] = np.asarray(spdiv).ravel()
+    return 0
+
+
+def invtrans_full(handle: int, nvordiv: int, nscalar: int, vor_ptr: int,
+                  div_ptr: int, sc_ptr: int, lscalarders: int,
+                  luvder_ew: int, lvordivgp: int, gp_ptr: int):
+    """Full-option inverse transform: vor/div + scalars with the reference
+    InvTrans_t derivative flags (``transi.h:1014-1016`` lscalarders /
+    luvder_EW / lvordivgp).  Grid output follows the documented PGP field
+    ordering (``inv_trans.F90:58-106``); returns nfld_out."""
+    res = _res(handle)
+    spvor = spdiv = spsc = None
+    if nvordiv:
+        spvor = jnp.asarray(
+            _wrap(vor_ptr, nvordiv * res.nspec2).reshape(nvordiv, -1))
+        spdiv = jnp.asarray(
+            _wrap(div_ptr, nvordiv * res.nspec2).reshape(nvordiv, -1))
+    if nscalar:
+        spsc = jnp.asarray(
+            _wrap(sc_ptr, nscalar * res.nspec2).reshape(nscalar, -1))
+    flags = InvFlags(scders=bool(lscalarders), uvders=bool(luvder_ew),
+                     vorgp=bool(lvordivgp), divgp=bool(lvordivgp))
+    out = np.asarray(inv_trans(res, spvor=spvor, spdiv=spdiv, spscalar=spsc,
+                               flags=flags, dtype=_JDT))
+    nfld_out = out.shape[0]
+    gp = _wrap(gp_ptr, nfld_out * res.grid.ngptot).reshape(nfld_out, -1)
+    for f in range(nfld_out):
+        gp[f] = _pack_reduced(out[f], res.grid.nloen)
+    return nfld_out
+
+
+def dirtrans_full(handle: int, nvordiv: int, nscalar: int, gp_ptr: int,
+                  vor_ptr: int, div_ptr: int, sc_ptr: int):
+    """Combined direct transform: grid U, V, scalars (in that order, the
+    reference DirTrans_t contract) -> spectral vor/div + scalars."""
+    res = _res(handle)
+    nfld_in = 2 * nvordiv + nscalar
+    gp = _wrap(gp_ptr, nfld_in * res.grid.ngptot).reshape(nfld_in, -1)
+    fields = np.stack(
+        [_unpack_reduced(gp[f], res.grid.nloen, res.grid.ndlon)
+         for f in range(nfld_in)])
+    u = v = sc = None
+    if nvordiv:
+        u = jnp.asarray(fields[:nvordiv])
+        v = jnp.asarray(fields[nvordiv : 2 * nvordiv])
+    if nscalar:
+        sc = jnp.asarray(fields[2 * nvordiv :])
+    spvor, spdiv, spsc = dir_trans(res, u=u, v=v, scalars=sc, dtype=_JDT)
+    if nvordiv:
+        _wrap(vor_ptr, nvordiv * res.nspec2)[:] = np.asarray(spvor).ravel()
+        _wrap(div_ptr, nvordiv * res.nspec2)[:] = np.asarray(spdiv).ravel()
+    if nscalar:
+        _wrap(sc_ptr, nscalar * res.nspec2)[:] = np.asarray(spsc).ravel()
     return 0
 
 

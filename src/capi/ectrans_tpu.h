@@ -35,6 +35,16 @@ int ectrans_tpu_init(void);
  * resolution handle, or a negative error.  (trans_setup, transi.h:221) */
 int ectrans_tpu_setup(const char *grid, int nsmax);
 
+/* Global planet-radius override for subsequent setups; call before
+ * ectrans_tpu_setup.  (trans_set_radius, transi.h:131) */
+int ectrans_tpu_set_radius(double radius);
+
+/* Setup with explicit per-resolution options: radius (<=0 = default /
+ * set_radius value) and Schmidt stretching factor (<=0 or 1 = unstretched;
+ * reference SETUP_TRANS PSTRET). */
+int ectrans_tpu_setup_ex(const char *grid, int nsmax, double radius,
+                         double stretch);
+
 /* Inquiry (TRANS_INQ / trans_inquire): fills any non-NULL pointer. */
 int ectrans_tpu_inquire(int handle, int *nspec2, int *ngptot, int *ndgl,
                         int *ndlon, int *nsmax);
@@ -61,6 +71,25 @@ int ectrans_tpu_invtrans_vordiv(int handle, int nfld, const double *spvor,
 int ectrans_tpu_dirtrans_vordiv(int handle, int nfld, const double *u,
                                 const double *v, double *spvor,
                                 double *spdiv);
+
+/* Full-option inverse transform with the reference InvTrans_t derivative
+ * flags (transi.h:1014-1016).  Inputs: spvor/spdiv (nvordiv, nspec2) and/or
+ * spscalar (nscalar, nspec2); NULL with the matching count 0 to omit.
+ * Output gp rows follow the reference PGP ordering (inv_trans.F90:58-106):
+ *   [vor, div (if lvordivgp)] u, v, scalars,
+ *   [N-S scalar derivs (lscalarders)],
+ *   [E-W u, v derivs (luvder_ew)], [E-W scalar derivs (lscalarders)].
+ * Returns nfld_out (>= 0) or a negative error code. */
+int ectrans_tpu_invtrans_full(int handle, int nvordiv, int nscalar,
+                              const double *spvor, const double *spdiv,
+                              const double *spscalar, int lscalarders,
+                              int luvder_ew, int lvordivgp, double *gp);
+
+/* Combined direct transform: gp rows ordered U, V, scalars (the reference
+ * DirTrans_t contract) -> spectral vor/div + scalars. */
+int ectrans_tpu_dirtrans_full(int handle, int nvordiv, int nscalar,
+                              const double *gp, double *spvor, double *spdiv,
+                              double *spscalar);
 
 /* Adjoint of the inverse transform (trans_invtrans_adj): grid cotangent
  * (nfld, ngptot) -> spectral cotangent (nfld, nspec2), scalar fields. */

@@ -124,6 +124,67 @@ int ectrans_tpu_setup(const char *grid, int nsmax) {
   return (int)h;
 }
 
+int ectrans_tpu_set_radius(double radius) {
+  return call_simple("set_radius", "(d)", radius);
+}
+
+int ectrans_tpu_setup_ex(const char *grid, int nsmax, double radius,
+                         double stretch) {
+  gil_t g = gil_begin();
+  if (ensure_init() != 0) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_INIT;
+  }
+  PyObject *args = Py_BuildValue("(sidd)", grid, nsmax, radius, stretch);
+  PyObject *out = bridge_call("setup_ex", args);
+  Py_DECREF(args);
+  if (out == NULL) {
+    PyErr_Print();
+    gil_end(g);
+    return ECTRANS_TPU_ERR_SETUP;
+  }
+  long h = PyLong_AsLong(out);
+  Py_DECREF(out);
+  gil_end(g);
+  return (int)h;
+}
+
+int ectrans_tpu_invtrans_full(int handle, int nvordiv, int nscalar,
+                              const double *spvor, const double *spdiv,
+                              const double *spscalar, int lscalarders,
+                              int luvder_ew, int lvordivgp, double *gp) {
+  gil_t g = gil_begin();
+  if (ensure_init() != 0) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_INIT;
+  }
+  PyObject *args = Py_BuildValue("(iiiKKKiiiK)", handle, nvordiv, nscalar,
+                                 PTR(spvor), PTR(spdiv), PTR(spscalar),
+                                 lscalarders, luvder_ew, lvordivgp, PTR(gp));
+  if (args == NULL) {
+    gil_end(g);
+    return ECTRANS_TPU_ERR_TRANS;
+  }
+  PyObject *out = bridge_call("invtrans_full", args);
+  Py_DECREF(args);
+  if (out == NULL) {
+    PyErr_Print();
+    gil_end(g);
+    return ECTRANS_TPU_ERR_TRANS;
+  }
+  long nfld_out = PyLong_AsLong(out);
+  Py_DECREF(out);
+  gil_end(g);
+  return (int)nfld_out;
+}
+
+int ectrans_tpu_dirtrans_full(int handle, int nvordiv, int nscalar,
+                              const double *gp, double *spvor, double *spdiv,
+                              double *spscalar) {
+  return call_simple("dirtrans_full", "(iiiKKKK)", handle, nvordiv, nscalar,
+                     PTR(gp), PTR(spvor), PTR(spdiv), PTR(spscalar));
+}
+
 int ectrans_tpu_inquire(int handle, int *nspec2, int *ngptot, int *ndgl,
                         int *ndlon, int *nsmax) {
   gil_t g = gil_begin();

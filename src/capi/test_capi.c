@@ -134,6 +134,99 @@ int main(void) {
   free(gpf);
   free(specf2);
 
+  /* full-option inverse with derivative flags + combined direct */
+  {
+    const int nvd = 1, nsca = 2;
+    double *svor = calloc((size_t)nvd * nspec2, sizeof(double));
+    double *sdiv = calloc((size_t)nvd * nspec2, sizeof(double));
+    for (int i = 0; i < nspec2; ++i) {
+      svor[i] = spec[i] * 0.5;
+      sdiv[i] = spec[nspec2 + i] * 0.5;
+    }
+    /* vor+div+u+v + sc + nsd + ewu+ewv + ewsc = 2+2+2+2+2+2 = 12 rows */
+    int nmax_out = 2 * nvd + 2 * nvd + 3 * nsca + 2 * nvd;
+    double *gpo = calloc((size_t)nmax_out * ngptot, sizeof(double));
+    int nout = ectrans_tpu_invtrans_full(h, nvd, nsca, svor, sdiv, spec,
+                                         /*scders*/ 1, /*uvders*/ 1,
+                                         /*vordivgp*/ 1, gpo);
+    if (nout != nmax_out) {
+      fprintf(stderr, "FAIL: invtrans_full nfld_out %d != %d\n", nout,
+              nmax_out);
+      return 11;
+    }
+    /* combined direct: U,V at rows 2,3 (after vor,div), scalars at 4,5 */
+    double *gpin = calloc((size_t)(2 * nvd + nsca) * ngptot, sizeof(double));
+    for (int i = 0; i < 2 * nvd * ngptot; ++i)
+      gpin[i] = gpo[2 * nvd * ngptot + i];
+    for (int i = 0; i < nsca * ngptot; ++i)
+      gpin[2 * nvd * ngptot + i] = gpo[4 * nvd * ngptot + i];
+    double *svor2 = calloc((size_t)nvd * nspec2, sizeof(double));
+    double *sdiv2 = calloc((size_t)nvd * nspec2, sizeof(double));
+    double *ssc2 = calloc((size_t)nsca * nspec2, sizeof(double));
+    if (ectrans_tpu_dirtrans_full(h, nvd, nsca, gpin, svor2, sdiv2, ssc2) !=
+        0)
+      return 1;
+    double ferr = 0.0;
+    /* skip (m=0,n=0): global-mean vor/div carries no wind information */
+    for (int i = 2; i < nvd * nspec2; ++i) {
+      double d = fabs(svor2[i] - svor[i]) + fabs(sdiv2[i] - sdiv[i]);
+      if (d > ferr) ferr = d;
+    }
+    for (int i = 0; i < nsca * nspec2; ++i) {
+      double d = fabs(ssc2[i] - spec[i]);
+      if (d > ferr) ferr = d;
+    }
+    printf("full-option roundtrip max err: %.3e\n", ferr);
+    if (ferr > 1e-7) {
+      fprintf(stderr, "FAIL: full-option roundtrip\n");
+      return 12;
+    }
+    free(svor); free(sdiv); free(gpo); free(gpin);
+    free(svor2); free(sdiv2); free(ssc2);
+  }
+
+  /* setup_ex: non-default radius rescales derivative-driven norms */
+  {
+    int h2 = ectrans_tpu_setup_ex("O48", 47, 6371229.0 * 2.0, -1.0);
+    if (h2 < 0) {
+      fprintf(stderr, "FAIL: setup_ex %d\n", h2);
+      return 13;
+    }
+    /* same spectral state transforms identically (radius only scales
+     * derivative/wind outputs, not the scalar synthesis) */
+    double *gpr = calloc((size_t)nfld * ngptot, sizeof(double));
+    if (ectrans_tpu_invtrans(h2, nfld, spec, gpr) != 0) return 1;
+    double dmax = 0.0;
+    for (int i = 0; i < nfld * ngptot; ++i) {
+      double d = fabs(gpr[i] - gp[i]);
+      if (d > dmax) dmax = d;
+    }
+    if (dmax > 1e-12) {
+      fprintf(stderr, "FAIL: radius changed scalar synthesis (%.3e)\n", dmax);
+      return 14;
+    }
+    /* winds scale with radius: u(radius*2) = 2 * u(radius) */
+    double *u1 = calloc((size_t)ngptot, sizeof(double));
+    double *v1 = calloc((size_t)ngptot, sizeof(double));
+    double *u2 = calloc((size_t)ngptot, sizeof(double));
+    double *v2 = calloc((size_t)ngptot, sizeof(double));
+    if (ectrans_tpu_invtrans_vordiv(h, 1, spec, spec, u1, v1) != 0) return 1;
+    if (ectrans_tpu_invtrans_vordiv(h2, 1, spec, spec, u2, v2) != 0) return 1;
+    double wmax = 0.0, wscale = 0.0;
+    for (int i = 0; i < ngptot; ++i) {
+      double d = fabs(0.5 * u2[i] - u1[i]) + fabs(0.5 * v2[i] - v1[i]);
+      if (d > wmax) wmax = d;
+      if (fabs(u1[i]) > wscale) wscale = fabs(u1[i]);
+    }
+    wmax /= wscale;
+    if (wmax > 1e-12) {
+      fprintf(stderr, "FAIL: wind radius scaling (%.3e)\n", wmax);
+      return 15;
+    }
+    free(gpr); free(u1); free(v1); free(u2); free(v2);
+    ectrans_tpu_release(h2);
+  }
+
   /* LAM surface: biperiodic domain round trip */
   int lh = ectrans_tpu_setup_lam(48, 40, 48, 40, -1, -1, 1000.0, 1000.0);
   if (lh < 0) {
