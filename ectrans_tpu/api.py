@@ -55,7 +55,8 @@ class SpectralTransform:
         if mesh is not None:
             from .parallel import ShardedTransform
 
-            self._sharded = ShardedTransform(self.res, mesh, dtype=self.dtype)
+            self._sharded = ShardedTransform(self.res, mesh, dtype=self.dtype,
+                                             precision=self.precision)
 
     # -- transforms -----------------------------------------------------
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
@@ -351,7 +352,8 @@ class SpectralTransform:
         if self.mesh is not None:
             from .parallel import ShardedTransform
 
-            self._sharded = ShardedTransform(self.res, self.mesh, dtype=self.dtype)
+            self._sharded = ShardedTransform(self.res, self.mesh, dtype=self.dtype,
+                                             precision=self.precision)
 
 
 def _pnm_value(res: Resolution, m: int, n: int) -> np.ndarray:

@@ -55,12 +55,20 @@ class ShardedTransform:
     tests/test_sharded.py.
     """
 
-    def __init__(self, res: Resolution, mesh: Mesh, dtype=jnp.float32):
+    def __init__(self, res: Resolution, mesh: Mesh, dtype=jnp.float32,
+                 precision: str = "highest"):
         if tuple(mesh.axis_names) != ("w", "v"):
             raise ValueError(f'mesh must have axes ("w", "v"), got {mesh.axis_names}')
+        from ..ops.legendre_matmul import _XLA_PREC
+
         self.res = res
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
+        #: Legendre-contraction tier (see transform._table_dtype): "bf16"
+        #: stores the shard-local grouped P tables in bfloat16 (half table
+        #: HBM per chip) and contracts single-pass.
+        self.precision = precision
+        self._prec = _XLA_PREC[precision]
         self.w = mesh.shape["w"]
         self.v = mesh.shape["v"]
         self.dist = build_distribution(res, self.w, self.v)
@@ -86,7 +94,11 @@ class ShardedTransform:
             else:
                 spec = P()
             sh = NamedSharding(self.mesh, spec)
-            dev[k] = jax.device_put(jnp.asarray(arr), sh)
+            jarr = jnp.asarray(arr)
+            if (self.precision == "bf16" and k.startswith("lg")
+                    and (k.endswith("_psym_w") or k.endswith("_pasym_w"))):
+                jarr = jarr.astype(jnp.bfloat16)
+            dev[k] = jax.device_put(jarr, sh)
             specs[k] = spec
         self.tables = dev
         self.table_specs = specs
@@ -174,7 +186,7 @@ class ShardedTransform:
     def _lt_inv(self, dense, t):
         """Grouped inverse Legendre on the shard-local permuted m-block:
         per-group gather to parity + MXU matmul (memory-tight tables)."""
-        prec = jax.lax.Precision.HIGHEST
+        prec = self._prec
         acc = (jnp.float32 if dense.dtype in (jnp.float32, jnp.bfloat16)
                else dense.dtype)
         pad = jnp.concatenate(
@@ -205,7 +217,7 @@ class ShardedTransform:
     def _lt_dir(self, four, t):
         """Grouped direct Legendre (quadrature-weighted transpose) on the
         shard-local m-block; scatters parity back to the dense layout."""
-        prec = jax.lax.Precision.HIGHEST
+        prec = self._prec
         acc = (jnp.float32 if four.dtype in (jnp.float32, jnp.bfloat16)
                else four.dtype)
         res = self.res

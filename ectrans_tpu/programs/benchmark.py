@@ -108,7 +108,8 @@ def main(argv=None):
         from ectrans_tpu.parallel import ShardedTransform, make_mesh
 
         w, v = (int(x) for x in args.mesh.lower().split("x"))
-        st = ShardedTransform(res, make_mesh(w, v), dtype=dtype)
+        st = ShardedTransform(res, make_mesh(w, v), dtype=dtype,
+                              precision=args.precision)
         print(f"mesh {w}x{v} over {w*v} devices")
 
     split_api = None

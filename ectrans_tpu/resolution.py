@@ -97,8 +97,11 @@ class Resolution:
         in float32 (device compute there is float32); when a caller then
         explicitly requests a float64 transform, the fp64 tables are built
         lazily here (and cached) so dtype=float64 always means true double
-        precision — never silently fp32-table accuracy."""
-        if np.dtype(dtype_str) != np.float64 or self.psym.dtype == np.float64:
+        precision — never silently fp32-table accuracy.  ``bfloat16`` (the
+        half-memory table mode for very large truncations, e.g. single-chip
+        TCO2047 — the FLT-precedent relaxed-accuracy tier) is served from
+        the fp32 host tables; the cast happens on group upload."""
+        if dtype_str != "float64" or self.psym.dtype == np.float64:
             return self.psym, self.pasym
         from .cache import load_parity_cached
 

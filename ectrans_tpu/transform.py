@@ -57,6 +57,20 @@ def num_inv_output_fields(nfld_uv: int, nfld_sc: int, flags: InvFlags) -> int:
     return n
 
 
+def _table_dtype(dtype, precision: str) -> str:
+    """Legendre table storage dtype for a precision tier.
+
+    The ``bf16`` tier stores the grouped P tables in bfloat16: the
+    single-pass contraction rounds operands to bf16 anyway, so accuracy is
+    unchanged while table HBM traffic (the LT bottleneck) and footprint
+    halve — the memory mode that fits single-chip TCO2047 (13.1 GiB fp32
+    -> 6.5 GiB), the role of the reference's butterfly compression
+    (``butterfly_alg_mod.F90``) at its own relaxed FLT gate."""
+    if precision == "bf16" and jnp.dtype(dtype) == jnp.float32:
+        return "bfloat16"
+    return str(jnp.dtype(dtype))
+
+
 @functools.lru_cache(maxsize=64)
 def _coeff_tables(res: Resolution, dtype_str: str):
     np_dtype = np.dtype(dtype_str)
@@ -273,7 +287,7 @@ def inv_trans(
                             fspgl_proc, npromatr, precision, _normalize)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
-    gl = res.grouped_legendre(str(dtype))
+    gl = res.grouped_legendre(_table_dtype(dtype, precision))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
     return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
@@ -374,7 +388,7 @@ def dir_trans(
                 jnp.concatenate(ss_p) if ss_p else None)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
-    gl = res.grouped_legendre(str(dtype))
+    gl = res.grouped_legendre(_table_dtype(dtype, precision))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
     return _dir_impl(tables, gl, ct, bt, u, v, scalars, _normalize, precision)

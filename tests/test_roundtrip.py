@@ -140,6 +140,31 @@ def test_bfloat16_smoke():
     assert err < 0.15, err
 
 
+def test_precision_bf16_tier_relaxed_gate():
+    """precision="bf16" (single-pass contraction + bfloat16 grouped tables,
+    the TCO2047 memory mode) round-trips within the reference's relaxed FLT
+    gate (1e6*eps, reference tests/CMakeLists.txt:316) — and the tables it
+    streams really are bfloat16 (half the LT HBM traffic)."""
+    res = et.setup("O48", 47)
+    spec = random_packed(res, 3, seed=11).astype(np.float32)
+    g = et.inv_trans(res, spscalar=jnp.asarray(spec), dtype=jnp.float32,
+                     precision="bf16")
+    _, _, s2 = et.dir_trans(res, scalars=g, dtype=jnp.float32,
+                            precision="bf16")
+    scale = np.abs(spec).max()
+    err = np.abs(np.asarray(s2) - spec).max()
+    assert err < 1e6 * np.finfo(np.float32).eps * scale, err
+    gl = res.grouped_legendre("bfloat16")
+    assert str(gl.groups[0].psym.dtype) == "bfloat16"
+    # and the tiers are ordered: highest must be strictly tighter
+    g_hi = et.inv_trans(res, spscalar=jnp.asarray(spec), dtype=jnp.float32,
+                        precision="highest")
+    _, _, s2_hi = et.dir_trans(res, scalars=g_hi, dtype=jnp.float32,
+                               precision="highest")
+    err_hi = np.abs(np.asarray(s2_hi) - spec).max()
+    assert err_hi < 100 * np.finfo(np.float32).eps * scale, err_hi
+
+
 def test_npromatr_packet_split_matches_single_call():
     """Library-level NPROMATR (inv_trans_ctl_mod.F90:143-276): packeted
     transforms must reproduce the single-call result and PGP ordering."""

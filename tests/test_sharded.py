@@ -85,6 +85,21 @@ def test_sharded_roundtrip_fp32():
     assert np.abs(np.asarray(ss) - sc).max() < 2e-5
 
 
+def test_sharded_bf16_tier_relaxed_gate():
+    """precision="bf16" on the mesh: bf16 shard-local tables + single-pass
+    contraction stay inside the reference's relaxed FLT gate (1e6*eps)."""
+    res = et.setup("O48", 47)
+    _, _, sc = _random_state(res, 0, 3, seed=6)
+    st = ShardedTransform(res, make_mesh(4, 2), dtype=jnp.float32,
+                          precision="bf16")
+    assert str(st.tables["lg0_psym_w"].dtype) == "bfloat16"
+    grid = st.inv_trans(spscalar=jnp.asarray(sc))
+    _, _, ss = st.dir_trans(scalars=grid)
+    scale = np.abs(sc).max()
+    err = np.abs(np.asarray(ss) - sc).max()
+    assert err < 1e6 * np.finfo(np.float32).eps * scale, err
+
+
 FLAG_CASES = [
     # (nuv, nsc, flags) — exercise every group-permutation branch
     (2, 0, et.InvFlags()),                          # uv only, no flags
