@@ -349,8 +349,13 @@ def main():
     # report the headline = first configured entry that succeeded
     config = next(c for c in order if c in results)
     gpps, dt, err, gate, phases = results[config]
+    import resource
+
     detail = {
         "sec_per_roundtrip": round(dt, 4),
+        # reference ectrans_memory peak-heap analogue (util/ectrans_memory.c)
+        "host_peak_rss_mib": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**10),
         "nfld": 2 * NFLD_UV + NFLD_SC,
         "roundtrip_err": err,
         "err_gate_100eps": gate,

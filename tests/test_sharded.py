@@ -132,6 +132,25 @@ def test_inv_flag_matrix_sharded(nuv, nsc, flags):
     assert err < 1e-12, f"flags={flags} nuv={nuv} nsc={nsc}: {err}"
 
 
+@pytest.mark.parametrize("nuv,nsc,flags", [
+    (1, 2, et.InvFlags(scders=True, uvders=True, vorgp=True, divgp=True)),
+    (2, 1, et.InvFlags(scders=True)),
+])
+def test_inv_flag_matrix_sharded_O160(nuv, nsc, flags):
+    """Flag-family decomposition invariance on a second grid with real
+    latitude/m imbalance (O160/T159; VERDICT round-2 item 6)."""
+    res = et.setup("O160", 159)
+    vor, div, sc = _random_state(res, nuv, nsc, seed=9)
+    kw = dict(spvor=jnp.asarray(vor), spdiv=jnp.asarray(div),
+              spscalar=jnp.asarray(sc))
+    ref = np.asarray(et.inv_trans(res, flags=flags, dtype=jnp.float64, **kw))
+    st = ShardedTransform(res, make_mesh(4, 2), dtype=jnp.float64)
+    got = np.asarray(st.inv_trans(flags=flags, **kw))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-12, f"flags={flags} nuv={nuv} nsc={nsc}: {err}"
+
+
 @pytest.mark.parametrize("nuv,nsc", [(2, 0), (0, 3), (1, 1), (3, 2)])
 def test_dir_field_matrix_sharded(nuv, nsc):
     """Sharded dir_trans == single-device for uv-only / sc-only / odd counts."""
