@@ -96,42 +96,47 @@ _DN_N = (((1,), (0,)), ((), ()))
 
 
 def _inv_kernel(s_ref, a_ref, ps_ref, pa_ref, n_ref, so_ref, *, mode):
-    sm = s_ref[:, 0, :]           # (fc2, kg) resident coefficients for m
-    am = a_ref[:, 0, :]
+    sm = s_ref[0]                 # (fc2, kg) resident coefficients for m
+    am = a_ref[0]
     ps = ps_ref[0]                # (TILE_I, kg) streamed table tile
     pa = pa_ref[0]
     fs = _dot(sm, ps, _DN_T, mode)
     fa = _dot(am, pa, _DN_T, mode)
     dt = n_ref.dtype
-    n_ref[:, 0, :] = (fs + fa).astype(dt)
-    so_ref[:, 0, :] = (fs - fa).astype(dt)
+    n_ref[0] = (fs + fa).astype(dt)
+    so_ref[0] = (fs - fa).astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
 def group_inv(sym, asym, psym, pasym, mode="bf16x3", interpret=False):
-    """One group's inverse LT: (fc2, gm, kg) coeffs x (gm, ig, kg) tables
-    -> (north, south) each (fc2, gm, ig); south NOT latitude-reversed."""
+    """One group's inverse LT: (gm, fc2, kg) coeffs x (gm, ig, kg) tables
+    -> (north, south) each (gm, fc2, ig); south NOT latitude-reversed.
+
+    The m axis leads every operand so each block's LAST TWO dims satisfy
+    the TPU lowering rule (divisible by (8, 128) or equal to the array
+    dims): coeff block (1, fc2, kg) keeps (fc2, kg) whole, table block
+    (1, TILE_I, kg) tiles latitudes in lane-aligned chunks."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    fc2, gm, kg = sym.shape
+    gm, fc2, kg = sym.shape
     ig = psym.shape[1]
     ti = min(TILE_I, ig)
     grid = (gm, pl.cdiv(ig, ti))
-    out = jax.ShapeDtypeStruct((fc2, gm, ig), sym.dtype)
+    out = jax.ShapeDtypeStruct((gm, fc2, ig), sym.dtype)
     kern = functools.partial(_inv_kernel, mode=mode)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((fc2, 1, kg), lambda m, it: (0, m, 0)),
-            pl.BlockSpec((fc2, 1, kg), lambda m, it: (0, m, 0)),
+            pl.BlockSpec((1, fc2, kg), lambda m, it: (m, 0, 0)),
+            pl.BlockSpec((1, fc2, kg), lambda m, it: (m, 0, 0)),
             pl.BlockSpec((1, ti, kg), lambda m, it: (m, it, 0)),
             pl.BlockSpec((1, ti, kg), lambda m, it: (m, it, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((fc2, 1, ti), lambda m, it: (0, m, it)),
-            pl.BlockSpec((fc2, 1, ti), lambda m, it: (0, m, it)),
+            pl.BlockSpec((1, fc2, ti), lambda m, it: (m, 0, it)),
+            pl.BlockSpec((1, fc2, ti), lambda m, it: (m, 0, it)),
         ],
         out_shape=[out, out],
         compiler_params=pltpu.CompilerParams(
@@ -141,40 +146,41 @@ def group_inv(sym, asym, psym, pasym, mode="bf16x3", interpret=False):
 
 
 def _dir_kernel(fs_ref, fa_ref, ps_ref, pa_ref, s_ref, a_ref, *, mode):
-    fs = fs_ref[:, 0, :]          # (fc2, ig) quadrature-weighted fourier
-    fa = fa_ref[:, 0, :]
+    fs = fs_ref[0]                # (fc2, ig) quadrature-weighted fourier
+    fa = fa_ref[0]
     ps = ps_ref[0]                # (ig, TILE_K)
     pa = pa_ref[0]
     dt = s_ref.dtype
-    s_ref[:, 0, :] = _dot(fs, ps, _DN_N, mode).astype(dt)
-    a_ref[:, 0, :] = _dot(fa, pa, _DN_N, mode).astype(dt)
+    s_ref[0] = _dot(fs, ps, _DN_N, mode).astype(dt)
+    a_ref[0] = _dot(fa, pa, _DN_N, mode).astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
 def group_dir(fsym, fasym, psym, pasym, mode="bf16x3", interpret=False):
-    """One group's direct LT: (fc2, gm, ig) weighted fourier x (gm, ig, kg)
-    tables -> (sym, asym) each (fc2, gm, kg)."""
+    """One group's direct LT: (gm, fc2, ig) weighted fourier x (gm, ig, kg)
+    tables -> (sym, asym) each (gm, fc2, kg).  m leads every operand so
+    block last-two dims satisfy the TPU lowering rule (see group_inv)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    fc2, gm, ig = fsym.shape
+    gm, fc2, ig = fsym.shape
     kg = psym.shape[2]
     tk = min(TILE_K, kg)
     grid = (gm, pl.cdiv(kg, tk))
-    out = jax.ShapeDtypeStruct((fc2, gm, kg), fsym.dtype)
+    out = jax.ShapeDtypeStruct((gm, fc2, kg), fsym.dtype)
     kern = functools.partial(_dir_kernel, mode=mode)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((fc2, 1, ig), lambda m, it: (0, m, 0)),
-            pl.BlockSpec((fc2, 1, ig), lambda m, it: (0, m, 0)),
+            pl.BlockSpec((1, fc2, ig), lambda m, it: (m, 0, 0)),
+            pl.BlockSpec((1, fc2, ig), lambda m, it: (m, 0, 0)),
             pl.BlockSpec((1, ig, tk), lambda m, it: (m, 0, it)),
             pl.BlockSpec((1, ig, tk), lambda m, it: (m, 0, it)),
         ],
         out_specs=[
-            pl.BlockSpec((fc2, 1, tk), lambda m, it: (0, m, it)),
-            pl.BlockSpec((fc2, 1, tk), lambda m, it: (0, m, it)),
+            pl.BlockSpec((1, fc2, tk), lambda m, it: (m, 0, it)),
+            pl.BlockSpec((1, fc2, tk), lambda m, it: (m, 0, it)),
         ],
         out_shape=[out, out],
         compiler_params=pltpu.CompilerParams(
@@ -192,12 +198,12 @@ def legendre_inv_grouped(sym, asym, gl, mode="bf16x3", interpret=False):
     for g in gl.groups:
         fc2 = 2 * nfld
         gm = g.m1 - g.m0
-        s = sym[:, :, g.m0:g.m1, :g.kg].reshape(fc2, gm, g.kg)
-        a = asym[:, :, g.m0:g.m1, :g.kg].reshape(fc2, gm, g.kg)
+        s = sym[:, :, g.m0:g.m1, :g.kg].reshape(fc2, gm, g.kg).swapaxes(0, 1)
+        a = asym[:, :, g.m0:g.m1, :g.kg].reshape(fc2, gm, g.kg).swapaxes(0, 1)
         north, south = group_inv(s, a, g.psym, g.pasym,
                                  mode=mode, interpret=interpret)
-        north = north.reshape(nfld, 2, gm, -1)
-        south = south.reshape(nfld, 2, gm, -1)[..., ::-1]
+        north = north.swapaxes(0, 1).reshape(nfld, 2, gm, -1)
+        south = south.swapaxes(0, 1).reshape(nfld, 2, gm, -1)[..., ::-1]
         pad = [(0, 0)] * 3
         parts.append(jnp.concatenate(
             [jnp.pad(north, pad + [(g.i0, 0)]),
@@ -220,11 +226,13 @@ def legendre_dir_grouped(fourier, gl, w, mode="bf16x3", interpret=False):
     for g in gl.groups:
         fc2 = 2 * nfld
         gm = g.m1 - g.m0
-        fs = fsym_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1)
-        fa = fasym_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1)
+        fs = fsym_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
+        fa = fasym_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
         s, a = group_dir(fs, fa, g.psym, g.pasym,
                          mode=mode, interpret=interpret)
         pad = [(0, 0)] * 3 + [(0, kmax - g.kg)]
-        syms.append(jnp.pad(s.reshape(nfld, 2, gm, g.kg), pad))
-        asyms.append(jnp.pad(a.reshape(nfld, 2, gm, g.kg), pad))
+        syms.append(jnp.pad(
+            s.swapaxes(0, 1).reshape(nfld, 2, gm, g.kg), pad))
+        asyms.append(jnp.pad(
+            a.swapaxes(0, 1).reshape(nfld, 2, gm, g.kg), pad))
     return jnp.concatenate(syms, axis=2), jnp.concatenate(asyms, axis=2)
