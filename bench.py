@@ -83,7 +83,8 @@ def _legendre_flops_per_dir(res, gl, nfld):
     padded = 0
     for g in gl.groups:
         ig = res.ndgnh - g.i0
-        padded += (g.m1 - g.m0) * ig * g.kg
+        kg = g.kg if hasattr(g, "kg") else g.J // 2
+        padded += (g.m1 - g.m0) * ig * kg
     padded *= 2 * 2 * 2 * nfld  # FMA x (re,im) x (sym+asym einsums) x fields
     logical = 0
     for m in range(res.M):
@@ -194,22 +195,39 @@ def phase_profile(res, dtype="float32"):
 
     from ectrans_tpu.ops import fourier, legendre_matmul
 
-    gl = res.grouped_legendre(str(jnp.dtype(dtype)))
+    eng = legendre_matmul.engine(PRECISION)
+    tdt = ("bfloat16" if PRECISION == "bf16" else str(jnp.dtype(dtype)))
+    if eng == "dense":
+        gl = res.full_legendre(tdt)
+    else:
+        gl = res.grouped_legendre(tdt)
     bt = fourier.bucketed_tables_for(res, dtype)
     w = jnp.asarray(res.w[: res.ndgnh], dtype)
+    NP = res.NP
     rng = np.random.default_rng(1)
 
     @jax.jit
     def leg_pair(sym, asym, gl, w):
+        if eng == "dense":
+            # sym here is the dense spectral tensor; asym unused
+            four = legendre_matmul.inv_dense(sym, gl, precision=PRECISION)
+            return legendre_matmul.dir_dense(four, gl, w, NP,
+                                             precision=PRECISION)
         four = legendre_matmul.inv_grouped(sym, asym, gl, precision=PRECISION)
         return legendre_matmul.dir_grouped(four, gl, w, precision=PRECISION)
 
     @jax.jit
     def fft_pair(four, bt):
-        grid = fourier.synthesis_bucketed(four, bt)
-        return fourier.analysis_bucketed(grid, bt, four.shape[2])
+        grid = fourier.synthesis_bucketed(four, bt, prec=PRECISION)
+        return fourier.analysis_bucketed(grid, bt, four.shape[2],
+                                         prec=PRECISION)
 
     def sym_in(F):
+        if eng == "dense":
+            return (
+                jnp.asarray(rng.standard_normal((F, 2, res.M, NP)), dtype),
+                jnp.zeros((1,), dtype),
+            )
         return (
             jnp.asarray(rng.standard_normal((F, 2, res.M, res.kmax)), dtype),
             jnp.asarray(rng.standard_normal((F, 2, res.M, res.kmax)), dtype),

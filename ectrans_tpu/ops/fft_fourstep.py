@@ -30,6 +30,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# fp32 matmul pass count for the DFT/twiddle matmuls, keyed by the public
+# precision tier (legendre_matmul module docstring): HIGHEST = 6 bf16 MXU
+# passes (full fp32 mantissa), HIGH = 3 passes (~2^-21 relative, inside the
+# reference benchmark's default 100*eps(fp32) gate), DEFAULT = 1 bf16 pass
+# (the relaxed bf16 tier, reference FLT-precedent gate).
+_TIER_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
 _PREC = jax.lax.Precision.HIGHEST
 
 
@@ -99,18 +109,19 @@ def _tables(n: int, dtype_str: str):
     return {k: jnp.asarray(v) for k, v in _tables_np(n, dtype_str).items()}
 
 
-def _cmatmul(ar, ai, br, bi, spec):
+def _cmatmul(ar, ai, br, bi, spec, prec=None):
     """Complex einsum via Karatsuba: 3 real contractions instead of 4
     (the matmuls are memory-bound multi-pass fp32 on the MXU, so pass
     count is the cost): m1 = a_r b_r, m2 = a_i b_i, m3 = (a_r+a_i)(b_r+b_i);
     re = m1 - m2, im = m3 - m1 - m2."""
-    m1 = jnp.einsum(spec, ar, br, precision=_PREC)
-    m2 = jnp.einsum(spec, ai, bi, precision=_PREC)
-    m3 = jnp.einsum(spec, ar + ai, br + bi, precision=_PREC)
+    p = _PREC if prec is None else _TIER_PREC.get(prec, prec)
+    m1 = jnp.einsum(spec, ar, br, precision=p)
+    m2 = jnp.einsum(spec, ai, bi, precision=p)
+    m3 = jnp.einsum(spec, ar + ai, br + bi, precision=p)
     return m1 - m2, m3 - m1 - m2
 
 
-def fft_ord(re, im, n: int | None = None):
+def fft_ord(re, im, n: int | None = None, prec=None):
     """Forward FFT of length n over the last axis; output in ord_map order.
 
     The inputs may be SHORTER than n (implicitly zero-padded): the first
@@ -124,7 +135,7 @@ def fft_ord(re, im, n: int | None = None):
     if n <= 256:
         re = _pad_to(re, n)
         im = _pad_to(im, n)
-        return _cmatmul(re, im, t["f_r"], t["f_i"], "...n,kn->...k")
+        return _cmatmul(re, im, t["f_r"], t["f_i"], "...n,kn->...k", prec)
     n1, n2 = _factor(n)
     in_len = re.shape[-1]
     f1 = -(-in_len // n2)  # occupied n1-rows
@@ -134,16 +145,16 @@ def fft_ord(re, im, n: int | None = None):
     xi = im.reshape(im.shape[:-1] + (f1, n2))
     # DFT over n1 (columns, pruned to the occupied rows): A[k1, n2]
     ar, ai = _cmatmul(xr, xi, t["f1_r"][:, :f1], t["f1_i"][:, :f1],
-                      "...fn,kf->...kn")
+                      "...fn,kf->...kn", prec)
     # twiddle W_N^(k1*n2)
     ar, ai = ar * t["tw_r"] - ai * t["tw_i"], ar * t["tw_i"] + ai * t["tw_r"]
     # DFT over n2: X[k1, k2]
-    br, bi = _cmatmul(ar, ai, t["f2_r"], t["f2_i"], "...kn,ln->...kl")
+    br, bi = _cmatmul(ar, ai, t["f2_r"], t["f2_i"], "...kn,ln->...kl", prec)
     shape = re.shape[:-1] + (n,)
     return br.reshape(shape), bi.reshape(shape)
 
 
-def ifft_from_ord(re, im, out_len: int | None = None):
+def ifft_from_ord(re, im, out_len: int | None = None, prec=None):
     """Inverse FFT consuming ord_map order, emitting natural order, with
     the 1/n normalisation (exact transposed network of fft_ord with
     conjugated coefficients).  With out_len, only the first out_len
@@ -153,7 +164,7 @@ def ifft_from_ord(re, im, out_len: int | None = None):
     n = re.shape[-1]
     t = _tables(n, str(re.dtype))
     if n <= 256:
-        orr, oii = _cmatmul(re, im, t["b_r"], t["b_i"], "...n,kn->...k")
+        orr, oii = _cmatmul(re, im, t["b_r"], t["b_i"], "...n,kn->...k", prec)
         if out_len is not None:
             orr, oii = orr[..., :out_len], oii[..., :out_len]
         return orr / n, oii / n
@@ -161,13 +172,13 @@ def ifft_from_ord(re, im, out_len: int | None = None):
     xr = re.reshape(re.shape[:-1] + (n1, n2))
     xi = im.reshape(im.shape[:-1] + (n1, n2))
     # conj DFT over k2
-    ar, ai = _cmatmul(xr, xi, t["f2b_r"], t["f2b_i"], "...kl,nl->...kn")
+    ar, ai = _cmatmul(xr, xi, t["f2b_r"], t["f2b_i"], "...kl,nl->...kn", prec)
     # conj twiddle
     ar, ai = ar * t["tw_r"] + ai * t["tw_i"], ai * t["tw_r"] - ar * t["tw_i"]
     # conj DFT over k1, pruned to the needed output rows
     fo = n1 if out_len is None else min(n1, -(-out_len // n2))
     br, bi = _cmatmul(ar, ai, t["f1b_r"][:fo], t["f1b_i"][:fo],
-                      "...kn,fk->...fn")
+                      "...kn,fk->...fn", prec)
     shape = re.shape[:-1] + (fo * n2,)
     return br.reshape(shape) / n, bi.reshape(shape) / n
 

@@ -264,7 +264,8 @@ def bucketed_tables_for(res, dtype) -> BucketedTables:
     return bucketed_tables(key, dt)
 
 
-def synthesis_bucketed(fourier, mbt: BucketedTables, normalize: bool = True):
+def synthesis_bucketed(fourier, mbt: BucketedTables, normalize: bool = True,
+                       prec=None):
     """(nfld, 2, M, ndgl) -> (nfld, ndgl, ndlon) via per-bucket chirp-z."""
     import jax.numpy as jnp
 
@@ -283,7 +284,7 @@ def synthesis_bucketed(fourier, mbt: BucketedTables, normalize: bool = True):
         fb = jnp.concatenate(
             [x[:, :, : mb + 1, i0:i1],
              x[:, :, : mb + 1, mbt.ndgl - i1 : mbt.ndgl - i0]], axis=-1)
-        g = synthesis(fb, bk.bt, normalize=False)      # (F, rows, ndlon_b)
+        g = synthesis(fb, bk.bt, normalize=False, prec=prec)  # (F, rows, ndlon_b)
         g = _pad_last(g, mbt.ndlon)
         outs_nh.append(g[:, : i1 - i0])
         outs_sh.append(g[:, i1 - i0 :])
@@ -291,7 +292,8 @@ def synthesis_bucketed(fourier, mbt: BucketedTables, normalize: bool = True):
     return (out[:nfld] * scale[:nfld, 0]).astype(fourier.dtype)
 
 
-def analysis_bucketed(grid, mbt: BucketedTables, M: int, normalize: bool = True):
+def analysis_bucketed(grid, mbt: BucketedTables, M: int, normalize: bool = True,
+                      prec=None):
     """(nfld, ndgl, ndlon) -> (nfld, 2, M, ndgl) via per-bucket chirp-z."""
     import jax.numpy as jnp
 
@@ -308,7 +310,8 @@ def analysis_bucketed(grid, mbt: BucketedTables, M: int, normalize: bool = True)
         # miscompiles on the axon backend at >= 5 pairs regardless of
         # broadcast rank — per-bucket scales are equally exact (each
         # bucket divides and multiplies by the same value).
-        fb = analysis(gb, bk.bt, min(M, mb + 1), normalize=normalize)
+        fb = analysis(gb, bk.bt, min(M, mb + 1), normalize=normalize,
+                      prec=prec)
         if fb.shape[2] < M:   # pad truncated zonal modes (zero beyond nmen)
             fb = jnp.pad(fb, [(0, 0), (0, 0), (0, M - fb.shape[2]), (0, 0)])
         outs_nh.append(fb[..., : i1 - i0])
@@ -426,7 +429,7 @@ def _field_chunks(nrows: int, nfft: int, itemsize: int) -> int:
     return max(1, _CHUNK_BYTES // max(1, per_field))
 
 
-def _chunked_conv(ar, ai, bhr, bhi, out_len=None):
+def _chunked_conv(ar, ai, bhr, bhi, out_len=None, prec=None):
     """Bluestein convolution core: forward four-step FFT of length nfft
     (input implicitly zero-padded; the first DFT matmul is pruned to the
     occupied rows), pointwise multiply with the pre-permuted chirp FFT,
@@ -453,9 +456,9 @@ def _chunked_conv(ar, ai, bhr, bhi, out_len=None):
                 nfft if out_len is None else out_len)
 
     def body(car, cai):
-        fr, fi = fft_fourstep.fft_ord(car, cai, nfft)
+        fr, fi = fft_fourstep.fft_ord(car, cai, nfft, prec)
         cr, ci = _cmul(fr, fi, bhr, bhi)
-        return fft_fourstep.ifft_from_ord(cr, ci, out_len)
+        return fft_fourstep.ifft_from_ord(cr, ci, out_len, prec)
 
     F = ar.shape[0]
     chunk = _field_chunks(int(np.prod(ar.shape[1:-1])), nfft, ar.dtype.itemsize)
@@ -486,7 +489,8 @@ def _pad_pair(x):
     return x
 
 
-def synthesis(fourier, bt: BluesteinTables, normalize: bool = True):
+def synthesis(fourier, bt: BluesteinTables, normalize: bool = True,
+              prec=None):
     """(nfld, 2, M, ndgl) Fourier coeffs -> grid (nfld, ndgl, ndlon).
 
     Ragged rows (lat with NLOEN < ndlon) are zero beyond their length.  One
@@ -535,7 +539,7 @@ def synthesis(fourier, bt: BluesteinTables, normalize: bool = True):
 
     ar, ai = _jax.lax.optimization_barrier((ar, ai))
     vr, vi = _chunked_conv(ar, ai, bt.syn_bh_r[None], bt.syn_bh_i[None],
-                           out_len=bt.ndlon)
+                           out_len=bt.ndlon, prec=prec)
     vr, vi = vr[..., : bt.ndlon], vi[..., : bt.ndlon]
     ga = vr * bt.syn_out_r[None] - vi * bt.syn_out_i[None]   # Re -> field a
     gb = vr * bt.syn_out_i[None] + vi * bt.syn_out_r[None]   # Im -> field b
@@ -543,7 +547,8 @@ def synthesis(fourier, bt: BluesteinTables, normalize: bool = True):
     return (out[:nfld] * scale[:nfld, 0]).astype(fourier.dtype)
 
 
-def analysis(grid, bt: BluesteinTables, M: int, normalize: bool = True):
+def analysis(grid, bt: BluesteinTables, M: int, normalize: bool = True,
+             prec=None):
     """grid (nfld, ndgl, ndlon) -> Fourier coeffs (nfld, 2, M, ndgl).
 
     Two real fields per complex transform (r2c pair trick): z = f_a + i f_b,
@@ -571,7 +576,7 @@ def analysis(grid, bt: BluesteinTables, M: int, normalize: bool = True):
     sr = ga * bt.ana_in_r[None] - gb * bt.ana_in_i[None]
     si = ga * bt.ana_in_i[None] + gb * bt.ana_in_r[None]
     vr, vi = _chunked_conv(sr, si, bt.ana_bh_r[None], bt.ana_bh_i[None],
-                           out_len=2 * mmax + 1)
+                           out_len=2 * mmax + 1, prec=prec)
     vr, vi = vr[..., : 2 * mmax + 1], vi[..., : 2 * mmax + 1]
     # materialise before the reversed-slot unpack (axon fusion miscompile
     # guard — see synthesis)

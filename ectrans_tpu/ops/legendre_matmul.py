@@ -41,23 +41,32 @@ _XLA_PREC = {
 _PALLAS_MODE = {"highest": "bf16x6", "high": "bf16x3", "bf16": "bf16"}
 
 
-def _use_pallas() -> bool:
+def engine(precision: str = "highest") -> str:
+    """Select the LT engine for a precision tier: "dense" (Pallas
+    dense-row kernels — no parity relayout of the inputs), "pallas"
+    (parity-split streaming kernels), or "xla" (grouped einsums).
+
+    auto (measured on the v5e axon backend, round 3): the dense-row
+    kernels win at every tier by removing the 20+ ms stride-2 parity
+    relayout; XLA einsums serve CPU (tests) natively."""
     kern = os.environ.get("ECTRANS_TPU_LEG_KERNEL", "auto")
-    if kern == "xla":
-        return False
+    if kern in ("xla", "pallas", "dense"):
+        return kern
     from . import legendre_pallas
 
-    if kern == "pallas":
-        return True
-    # auto: the pallas streaming kernels are the measured-faster path on
-    # the TPU backend; XLA einsums elsewhere (CPU tests, interpret)
-    return legendre_pallas.supported()
+    return "dense" if legendre_pallas.supported() else "xla"
+
+
+def _interpret() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 def inv_grouped(sym, asym, gl, precision: str = "highest"):
     """Grouped inverse LT at a named precision tier, dispatching between
     the XLA einsum formulation and the Pallas HBM-streaming kernels."""
-    if _use_pallas():
+    if engine(precision) == "pallas":
         from . import legendre_pallas
 
         return legendre_pallas.legendre_inv_grouped(
@@ -67,12 +76,31 @@ def inv_grouped(sym, asym, gl, precision: str = "highest"):
 
 def dir_grouped(fourier, gl, w, precision: str = "highest"):
     """Grouped direct LT at a named precision tier (see inv_grouped)."""
-    if _use_pallas():
+    if engine(precision) == "pallas":
         from . import legendre_pallas
 
         return legendre_pallas.legendre_dir_grouped(
             fourier, gl, w, mode=_PALLAS_MODE[precision])
     return legendre_dir_grouped(fourier, gl, w, precision=_XLA_PREC[precision])
+
+
+def inv_dense(dense, fl, precision: str = "highest"):
+    """Dense-row inverse LT (engine "dense"): (nfld, 2, M, NP) ->
+    (nfld, 2, M, ndgl).  fl: resolution.full_legendre tables."""
+    from . import legendre_pallas
+
+    return legendre_pallas.legendre_inv_dense(
+        dense, fl, mode=_PALLAS_MODE[precision], interpret=_interpret())
+
+
+def dir_dense(fourier, fl, w, NP, precision: str = "highest"):
+    """Dense-row direct LT (engine "dense"): (nfld, 2, M, ndgl) + NH
+    weights -> (nfld, 2, M, NP) dense spectral rows."""
+    from . import legendre_pallas
+
+    return legendre_pallas.legendre_dir_dense(
+        fourier, fl, w, NP, mode=_PALLAS_MODE[precision],
+        interpret=_interpret())
 
 
 def legendre_inv(sym, asym, tables, precision=jax.lax.Precision.HIGHEST):

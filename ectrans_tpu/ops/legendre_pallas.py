@@ -189,6 +189,173 @@ def group_dir(fsym, fasym, psym, pasym, mode="bf16x3", interpret=False):
     )(fsym, fasym, psym, pasym)
 
 
+# ----------------------------------------------------------------------
+# Dense-row kernels: contract diagonal-realigned dense rows against the
+# FULL-n interleaved table (resolution.full_legendre).  No parity split of
+# the inputs (the 20+ ms stride-2 lane relayout at TCO1279), no separate
+# recombination: north = sum_j d2[j] P[m+j], south = sum_j d2[j] (-1)^j
+# P[m+j] (parity identity P(n, -mu) = (-1)^(n-m) P(n, mu)), with the sign
+# applied to the small d2 operand in-kernel.  Table bytes and stream count
+# are identical to the parity pair; MXU passes double (full-length dots
+# for both hemispheres) — a good trade while the kernel is
+# bandwidth-bound (<= 3-pass modes).
+# ----------------------------------------------------------------------
+
+
+def _inv_dense_kernel(d2_ref, pn_ref, n_ref, so_ref, *, mode):
+    d2 = d2_ref[0]                # (fc2, J) realigned dense rows for m
+    pn = pn_ref[0]                # (TILE_I, J) streamed full-n table tile
+    J = d2.shape[-1]
+    par = jax.lax.broadcasted_iota(jnp.int32, (1, J), 1) & 1
+    sgn = (1 - 2 * par).astype(d2.dtype)
+    fs = _dot(d2, pn, _DN_T, mode)
+    fa = _dot(d2 * sgn, pn, _DN_T, mode)
+    dt = n_ref.dtype
+    n_ref[0] = fs.astype(dt)
+    so_ref[0] = fa.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def group_inv_dense(d2, pn, mode="bf16x3", interpret=False):
+    """One group's dense-row inverse LT: (gm, fc2, J) realigned rows x
+    (gm, ig, J) full-n table -> (north, south) each (gm, fc2, ig);
+    south NOT latitude-reversed."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gm, fc2, J = d2.shape
+    ig = pn.shape[1]
+    ti = min(TILE_I, ig)
+    grid = (gm, pl.cdiv(ig, ti))
+    out = jax.ShapeDtypeStruct((gm, fc2, ig), d2.dtype)
+    kern = functools.partial(_inv_dense_kernel, mode=mode)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, fc2, J), lambda m, it: (m, 0, 0)),
+            pl.BlockSpec((1, ti, J), lambda m, it: (m, it, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, fc2, ti), lambda m, it: (m, 0, it)),
+            pl.BlockSpec((1, fc2, ti), lambda m, it: (m, 0, it)),
+        ],
+        out_shape=[out, out],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(d2, pn)
+
+
+def _dir_dense_kernel(fn_ref, fs_ref, pn_ref, o_ref, *, mode):
+    from jax.experimental import pallas as pl
+
+    fn = fn_ref[0]                # (fc2, ig) weighted north fourier
+    fs = fs_ref[0]                # (fc2, ig) weighted south (NH-paired)
+    pn = pn_ref[0]                # (ig, TILE_J)
+    a = _dot(fn, pn, _DN_N, mode)
+    b = _dot(fs, pn, _DN_N, mode)
+    tj = a.shape[-1]
+    j0 = pl.program_id(1) * tj
+    par = (jax.lax.broadcasted_iota(jnp.int32, (1, tj), 1) + j0) & 1
+    sgn = (1 - 2 * par).astype(a.dtype)
+    o_ref[0] = (a + b * sgn).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def group_dir_dense(fn, fs, pn, mode="bf16x3", interpret=False):
+    """One group's dense-row direct LT: weighted north/south fourier
+    (gm, fc2, ig) x (gm, ig, J) table -> realigned rows (gm, fc2, J)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gm, fc2, ig = fn.shape
+    J = pn.shape[2]
+    tj = min(TILE_K, J)
+    grid = (gm, pl.cdiv(J, tj))
+    out = jax.ShapeDtypeStruct((gm, fc2, J), fn.dtype)
+    kern = functools.partial(_dir_dense_kernel, mode=mode)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, fc2, ig), lambda m, it: (m, 0, 0)),
+            pl.BlockSpec((1, fc2, ig), lambda m, it: (m, 0, 0)),
+            pl.BlockSpec((1, ig, tj), lambda m, it: (m, 0, it)),
+        ],
+        out_specs=pl.BlockSpec((1, fc2, tj), lambda m, it: (m, 0, it)),
+        out_shape=out,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(fn, fs, pn)
+
+
+def _diag_realign(dense):
+    """(nfld, 2, M, NP) -> (nfld, 2, M, NP+1) with d2[..., m, j] =
+    dense[..., m, m+j]: a pure pad+reshape (index algebra m*(W+1) + j =
+    m*W + (m+j)); entries past each row's diagonal end are neighbouring
+    rows' data, annihilated by the zero-padded table columns."""
+    f, c, M, W = dense.shape
+    flat = dense.reshape(f, c, M * W)
+    flat = jnp.pad(flat, [(0, 0), (0, 0), (0, M)])
+    return flat.reshape(f, c, M, W + 1)
+
+
+def _diag_unalign(d2, NP):
+    """Inverse of _diag_realign: dense[..., m, n] = d2[..., m, n-m]
+    (free flat reshape; entries at n < m are neighbouring rows' data —
+    consumers mask or gather the valid region only)."""
+    f, c, M, W1 = d2.shape
+    flat = d2.reshape(f, c, M * W1)
+    return flat[..., : M * NP].reshape(f, c, M, NP)
+
+
+def legendre_inv_dense(dense, fl, mode="bf16x3", interpret=False):
+    """Dense-row inverse LT: (nfld, 2, M, NP) dense spectral ->
+    (nfld, 2, M, ndgl) fourier north->south (fl: resolution.FullLegendre)."""
+    nfld = dense.shape[0]
+    d2 = _diag_realign(dense)
+    parts = []
+    for g in fl.groups:
+        fc2 = 2 * nfld
+        gm = g.m1 - g.m0
+        dg = d2[:, :, g.m0:g.m1, :g.J].reshape(fc2, gm, g.J).swapaxes(0, 1)
+        north, south = group_inv_dense(dg, g.pn, mode=mode,
+                                       interpret=interpret)
+        north = north.swapaxes(0, 1).reshape(nfld, 2, gm, -1)
+        south = south.swapaxes(0, 1).reshape(nfld, 2, gm, -1)[..., ::-1]
+        pad = [(0, 0)] * 3
+        parts.append(jnp.concatenate(
+            [jnp.pad(north, pad + [(g.i0, 0)]),
+             jnp.pad(south, pad + [(0, g.i0)])], axis=-1))
+    return jnp.concatenate(parts, axis=2)
+
+
+def legendre_dir_dense(fourier, fl, w, NP, mode="bf16x3", interpret=False):
+    """Dense-row direct LT: (nfld, 2, M, ndgl) fourier + NH weights ->
+    (nfld, 2, M, NP) dense spectral rows (quadrature applied)."""
+    nfld = fourier.shape[0]
+    ndgnh = fl.ndgnh
+    north_all = fourier[..., :ndgnh]
+    south_all = fourier[..., : ndgnh - 1 : -1]
+    fn_all = north_all * w
+    fs_all = south_all * w
+    fn_all, fs_all = jax.lax.optimization_barrier((fn_all, fs_all))
+    W1 = NP + 1
+    parts = []
+    for g in fl.groups:
+        fc2 = 2 * nfld
+        gm = g.m1 - g.m0
+        fn = fn_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
+        fs = fs_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
+        d2g = group_dir_dense(fn, fs, g.pn, mode=mode, interpret=interpret)
+        d2g = d2g.swapaxes(0, 1).reshape(nfld, 2, gm, g.J)
+        parts.append(jnp.pad(d2g, [(0, 0)] * 3 + [(0, W1 - g.J)]))
+    d2 = jnp.concatenate(parts, axis=2)
+    return _diag_unalign(d2, NP)
+
+
 def legendre_inv_grouped(sym, asym, gl, mode="bf16x3", interpret=False):
     """Drop-in Pallas replacement of
     :func:`legendre_matmul.legendre_inv_grouped` (same contract: sym/asym

@@ -154,6 +154,48 @@ class Resolution:
         return GroupedLegendre(groups=tuple(groups), ndgnh=ndgnh, kmax=self.kmax)
 
     @functools.lru_cache(maxsize=4)
+    def full_legendre(self, dtype_str: str = "float32",
+                      ngroups: int | None = None) -> "FullLegendre":
+        """Per-m-group FULL-n Legendre tensors for the dense-row kernels.
+
+        pn[m, i, j] = P̄_{m+j}^m(mu_i) — sym/antisym rows interleaved along
+        j, so the LT contracts the diagonal-realigned dense rows directly
+        (no parity split of the inputs); the south hemisphere is derived
+        in-kernel via the per-column parity sign (P(n, -mu) =
+        (-1)^(n-m) P(n, mu)).  Same element count (and HBM stream) as the
+        parity pair in :meth:`grouped_legendre`."""
+        import jax.numpy as jnp
+
+        _ensure_pytrees()
+        M, ndgnh, nmax = self.M, self.ndgnh, self.nsmax + 1
+        psym, pasym = self.parity_tables(dtype_str)
+        if ngroups is None:
+            import os as _os
+
+            env = _os.environ.get("ECTRANS_TPU_LEG_GROUPS")
+            ngroups = int(env) if env else max(1, min(16, M // 8))
+        bs = -(-M // ngroups)
+        host_dt = psym.dtype
+        groups = []
+        for gi in range(ngroups):
+            m0 = gi * bs
+            m1 = min(M, m0 + bs)
+            if m0 >= M:
+                break
+            ig = int(self.ndglu[m0])
+            i0 = ndgnh - ig
+            kg = (nmax - m0) // 2 + 1
+            gm = m1 - m0
+            pn = np.empty((gm, ig, 2 * kg), dtype=host_dt)
+            pn[..., 0::2] = psym[m0:m1, i0:, :kg]
+            pn[..., 1::2] = pasym[m0:m1, i0:, :kg]
+            groups.append(FullGroup(
+                m0=m0, m1=m1, i0=i0, J=2 * kg,
+                pn=jnp.asarray(pn, dtype=dtype_str),
+            ))
+        return FullLegendre(groups=tuple(groups), ndgnh=ndgnh, kmax=self.kmax)
+
+    @functools.lru_cache(maxsize=4)
     def device_tables(self, dtype: Any = np.float32) -> "DeviceTables":
         import jax.numpy as jnp
 
@@ -199,6 +241,25 @@ class GroupedLegendre:
     kmax: int
 
 
+@dataclasses.dataclass(frozen=True)
+class FullGroup:
+    """One contiguous m-group of the full-n interleaved table
+    (dense-row LT kernels): pn (m1-m0, ndgnh-i0, J), J = 2*kg."""
+
+    m0: int
+    m1: int
+    i0: int
+    J: int
+    pn: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class FullLegendre:
+    groups: tuple
+    ndgnh: int
+    kmax: int
+
+
 def _register_pytrees():
     """Register the table containers as JAX pytrees so they are passed to
     jitted kernels as runtime *arguments* — never closed over (a closed-over
@@ -213,6 +274,16 @@ def _register_pytrees():
     )
     jax.tree_util.register_dataclass(
         GroupedLegendre,
+        data_fields=["groups"],
+        meta_fields=["ndgnh", "kmax"],
+    )
+    jax.tree_util.register_dataclass(
+        FullGroup,
+        data_fields=["pn"],
+        meta_fields=["m0", "m1", "i0", "J"],
+    )
+    jax.tree_util.register_dataclass(
+        FullLegendre,
         data_fields=["groups"],
         meta_fields=["ndgnh", "kmax"],
     )
@@ -334,6 +405,7 @@ def trans_end() -> None:
     _setup_cached.cache_clear()
     Resolution.parity_tables.cache_clear()
     Resolution.grouped_legendre.cache_clear()
+    Resolution.full_legendre.cache_clear()
     Resolution.device_tables.cache_clear()
     from .ops import fourier
 

@@ -109,9 +109,10 @@ def _check_grid_arg(name, arr, res):
 
 
 @functools.partial(jax.jit, static_argnames=("flags", "fspgl_proc", "normalize",
-                                             "precision"))
+                                             "precision", "leg_engine"))
 def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
-              fspgl_proc=None, normalize=True, precision="highest"):
+              fspgl_proc=None, normalize=True, precision="highest",
+              leg_engine="xla"):
     dtype = tables.racthe.dtype
     racthe = tables.racthe[None, None, None, :]  # broadcast over (f, c, m, lat)
     nfld_uv = spvor.shape[0] if spvor is not None else 0
@@ -140,8 +141,15 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
             lt_inputs.append(spectral.ns_derivative(dsc, ct["nsd"]))
     dense_all = (jnp.concatenate(lt_inputs, axis=0)
                  if len(lt_inputs) > 1 else lt_inputs[0])
-    sym, asym = layout.dense_to_parity(dense_all, tables)
-    four_all = legendre_matmul.inv_grouped(sym, asym, gl, precision=precision)
+    if leg_engine == "dense":
+        # dense-row kernels consume the diagonal-realigned dense rows
+        # directly — no parity split/recombination relayouts
+        four_all = legendre_matmul.inv_dense(dense_all, gl,
+                                             precision=precision)
+    else:
+        sym, asym = layout.dense_to_parity(dense_all, tables)
+        four_all = legendre_matmul.inv_grouped(sym, asym, gl,
+                                               precision=precision)
 
     off = 0
 
@@ -179,7 +187,8 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
     # materialise before the bucketed synthesis (axon >= 5-pair fusion
     # miscompile guard — see _dir_impl)
     four = jax.lax.optimization_barrier(four)
-    return fourier.synthesis_bucketed(four, bt, normalize=normalize)
+    return fourier.synthesis_bucketed(four, bt, normalize=normalize,
+                                      prec=precision)
 
 
 # NB: the direct transform runs as TWO jitted programs with a dispatch
@@ -191,8 +200,9 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
 # Fourier tensor (which the fused program materialises anyway).
 
 
-@functools.partial(jax.jit, static_argnames=("normalize",))
-def _dir_ana_impl(tables, bt, u, v, scalars, normalize=True):
+@functools.partial(jax.jit, static_argnames=("normalize", "precision"))
+def _dir_ana_impl(tables, bt, u, v, scalars, normalize=True,
+                  precision="highest"):
     dtype = tables.racthe.dtype
     M = tables.dense_gather.shape[1]
     # u/v and scalars are analysed in SEPARATE bucketed calls: feeding the
@@ -203,15 +213,19 @@ def _dir_ana_impl(tables, bt, u, v, scalars, normalize=True):
     parts = []
     if u is not None:
         uv = jnp.concatenate([u.astype(dtype), v.astype(dtype)], axis=0)
-        parts.append(fourier.analysis_bucketed(uv, bt, M, normalize=normalize))
+        parts.append(fourier.analysis_bucketed(uv, bt, M, normalize=normalize,
+                                               prec=precision))
     if scalars is not None:
         parts.append(fourier.analysis_bucketed(
-            scalars.astype(dtype), bt, M, normalize=normalize))
+            scalars.astype(dtype), bt, M, normalize=normalize,
+            prec=precision))
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc", "precision"))
-def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc, precision="highest"):
+@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc", "precision",
+                                             "leg_engine"))
+def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc, precision="highest",
+                 leg_engine="xla"):
     NP = tables.dense_gather.shape[2]
     ndgnh = gl.ndgnh
     if nfld_uv:
@@ -219,9 +233,13 @@ def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc, precision="highest"):
         racthe = tables.racthe[None, None, None, :]
         uvpart = four[: 2 * nfld_uv] * racthe
         four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
-    sym, asym = legendre_matmul.dir_grouped(four, gl, tables.w[:ndgnh],
-                                            precision=precision)
-    dense = layout.parity_to_dense(sym, asym, tables, NP)
+    if leg_engine == "dense":
+        dense = legendre_matmul.dir_dense(four, gl, tables.w[:ndgnh], NP,
+                                          precision=precision)
+    else:
+        sym, asym = legendre_matmul.dir_grouped(four, gl, tables.w[:ndgnh],
+                                                precision=precision)
+        dense = layout.parity_to_dense(sym, asym, tables, NP)
     spvor = spdiv = spsc = None
     if nfld_uv:
         du = dense[:nfld_uv]
@@ -235,11 +253,11 @@ def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc, precision="highest"):
 
 
 def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True,
-              precision="highest"):
-    four = _dir_ana_impl(tables, bt, u, v, scalars, normalize)
+              precision="highest", leg_engine="xla"):
+    four = _dir_ana_impl(tables, bt, u, v, scalars, normalize, precision)
     nfld_uv = u.shape[0] if u is not None else 0
     return _dir_lt_impl(tables, gl, ct, four, nfld_uv, scalars is not None,
-                        precision=precision)
+                        precision=precision, leg_engine=leg_engine)
 
 
 def inv_trans(
@@ -254,6 +272,7 @@ def inv_trans(
     npromatr: int | None = None,
     precision: str = "highest",
     _normalize=True,
+    _engine: str | None = None,
 ):
     """Inverse transform: packed spectral arrays -> grid fields.
 
@@ -287,11 +306,13 @@ def inv_trans(
                             fspgl_proc, npromatr, precision, _normalize)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
-    gl = res.grouped_legendre(_table_dtype(dtype, precision))
+    eng = _engine or legendre_matmul.engine(precision)
+    gl = (res.full_legendre(_table_dtype(dtype, precision)) if eng == "dense"
+          else res.grouped_legendre(_table_dtype(dtype, precision)))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
     return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
-                     fspgl_proc, _normalize, precision)
+                     fspgl_proc, _normalize, precision, eng)
 
 
 def _chunk_pad(x, size):
@@ -349,6 +370,7 @@ def dir_trans(
     npromatr: int | None = None,
     precision: str = "highest",
     _normalize=True,
+    _engine: str | None = None,
 ):
     """Direct transform: grid fields -> packed spectral arrays.
 
@@ -388,7 +410,10 @@ def dir_trans(
                 jnp.concatenate(ss_p) if ss_p else None)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
-    gl = res.grouped_legendre(_table_dtype(dtype, precision))
+    eng = _engine or legendre_matmul.engine(precision)
+    gl = (res.full_legendre(_table_dtype(dtype, precision)) if eng == "dense"
+          else res.grouped_legendre(_table_dtype(dtype, precision)))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
-    return _dir_impl(tables, gl, ct, bt, u, v, scalars, _normalize, precision)
+    return _dir_impl(tables, gl, ct, bt, u, v, scalars, _normalize, precision,
+                     eng)
