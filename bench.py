@@ -279,7 +279,10 @@ def run(config: str, profile_phases: bool):
     import ectrans_tpu as et
     from ectrans_tpu.transform import InvFlags
 
+    t_setup = time.perf_counter()
     res = et.setup(config)
+    print(f"# {config} setup {time.perf_counter()-t_setup:.0f}s",
+          file=sys.stderr, flush=True)
     flags = InvFlags(scders=True, uvders=True)
     rng = np.random.default_rng(0)
 

@@ -204,12 +204,12 @@ def group_dir(fsym, fasym, psym, pasym, mode="bf16x3", interpret=False):
 
 def _inv_dense_kernel(d2_ref, pn_ref, n_ref, so_ref, *, mode):
     d2 = d2_ref[0]                # (fc2, J) realigned dense rows for m
-    pn = pn_ref[0]                # (TILE_I, J) streamed full-n table tile
+    pn = pn_ref[0]                # (J, TILE_I) streamed full-n table tile
     J = d2.shape[-1]
     par = jax.lax.broadcasted_iota(jnp.int32, (1, J), 1) & 1
     sgn = (1 - 2 * par).astype(d2.dtype)
-    fs = _dot(d2, pn, _DN_T, mode)
-    fa = _dot(d2 * sgn, pn, _DN_T, mode)
+    fs = _dot(d2, pn, _DN_N, mode)
+    fa = _dot(d2 * sgn, pn, _DN_N, mode)
     dt = n_ref.dtype
     n_ref[0] = fs.astype(dt)
     so_ref[0] = fa.astype(dt)
@@ -218,13 +218,13 @@ def _inv_dense_kernel(d2_ref, pn_ref, n_ref, so_ref, *, mode):
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
 def group_inv_dense(d2, pn, mode="bf16x3", interpret=False):
     """One group's dense-row inverse LT: (gm, fc2, J) realigned rows x
-    (gm, ig, J) full-n table -> (north, south) each (gm, fc2, ig);
+    (gm, J, ig) full-n table -> (north, south) each (gm, fc2, ig);
     south NOT latitude-reversed."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     gm, fc2, J = d2.shape
-    ig = pn.shape[1]
+    ig = pn.shape[2]
     ti = min(TILE_I, ig)
     grid = (gm, pl.cdiv(ig, ti))
     out = jax.ShapeDtypeStruct((gm, fc2, ig), d2.dtype)
@@ -234,7 +234,7 @@ def group_inv_dense(d2, pn, mode="bf16x3", interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, fc2, J), lambda m, it: (m, 0, 0)),
-            pl.BlockSpec((1, ti, J), lambda m, it: (m, it, 0)),
+            pl.BlockSpec((1, J, ti), lambda m, it: (m, 0, it)),
         ],
         out_specs=[
             pl.BlockSpec((1, fc2, ti), lambda m, it: (m, 0, it)),
@@ -252,9 +252,9 @@ def _dir_dense_kernel(fn_ref, fs_ref, pn_ref, o_ref, *, mode):
 
     fn = fn_ref[0]                # (fc2, ig) weighted north fourier
     fs = fs_ref[0]                # (fc2, ig) weighted south (NH-paired)
-    pn = pn_ref[0]                # (ig, TILE_J)
-    a = _dot(fn, pn, _DN_N, mode)
-    b = _dot(fs, pn, _DN_N, mode)
+    pn = pn_ref[0]                # (TILE_J, ig)
+    a = _dot(fn, pn, _DN_T, mode)
+    b = _dot(fs, pn, _DN_T, mode)
     tj = a.shape[-1]
     j0 = pl.program_id(1) * tj
     par = (jax.lax.broadcasted_iota(jnp.int32, (1, tj), 1) + j0) & 1
@@ -265,12 +265,12 @@ def _dir_dense_kernel(fn_ref, fs_ref, pn_ref, o_ref, *, mode):
 @functools.partial(jax.jit, static_argnames=("mode", "interpret"))
 def group_dir_dense(fn, fs, pn, mode="bf16x3", interpret=False):
     """One group's dense-row direct LT: weighted north/south fourier
-    (gm, fc2, ig) x (gm, ig, J) table -> realigned rows (gm, fc2, J)."""
+    (gm, fc2, ig) x (gm, J, ig) table -> realigned rows (gm, fc2, J)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     gm, fc2, ig = fn.shape
-    J = pn.shape[2]
+    J = pn.shape[1]
     tj = min(TILE_K, J)
     grid = (gm, pl.cdiv(J, tj))
     out = jax.ShapeDtypeStruct((gm, fc2, J), fn.dtype)
@@ -281,7 +281,7 @@ def group_dir_dense(fn, fs, pn, mode="bf16x3", interpret=False):
         in_specs=[
             pl.BlockSpec((1, fc2, ig), lambda m, it: (m, 0, 0)),
             pl.BlockSpec((1, fc2, ig), lambda m, it: (m, 0, 0)),
-            pl.BlockSpec((1, ig, tj), lambda m, it: (m, 0, it)),
+            pl.BlockSpec((1, tj, ig), lambda m, it: (m, it, 0)),
         ],
         out_specs=pl.BlockSpec((1, fc2, tj), lambda m, it: (m, 0, it)),
         out_shape=out,

@@ -158,22 +158,44 @@ class Resolution:
                       ngroups: int | None = None) -> "FullLegendre":
         """Per-m-group FULL-n Legendre tensors for the dense-row kernels.
 
-        pn[m, i, j] = P̄_{m+j}^m(mu_i) — sym/antisym rows interleaved along
+        pn[m, j, i] = P̄_{m+j}^m(mu_i) — sym/antisym rows interleaved along
         j, so the LT contracts the diagonal-realigned dense rows directly
         (no parity split of the inputs); the south hemisphere is derived
         in-kernel via the per-column parity sign (P(n, -mu) =
         (-1)^(n-m) P(n, mu)).  Same element count (and HBM stream) as the
-        parity pair in :meth:`grouped_legendre`."""
+        parity pair in :meth:`grouped_legendre`.
+
+        Table source: by default the tables are GENERATED ON DEVICE by the
+        Pallas recurrence materializer (``ops.legendre_tablegen``) when a
+        TPU backend is active — uploading ~13 MB of seeds/coefficients
+        instead of the multi-GiB tables (the axon tunnel uploads at
+        5-50 MiB/s, so host-built tables cost minutes per process).  Set
+        ECTRANS_TPU_TABLE_SOURCE=host to force the host build (exact
+        fp64-recurrence tables; the device recurrence is fp32-accurate,
+        ~2e-6 relative — inside the reference's 100*eps benchmark gate)."""
+        import os as _os
+
+        import jax
         import jax.numpy as jnp
 
         _ensure_pytrees()
         M, ndgnh, nmax = self.M, self.ndgnh, self.nsmax + 1
-        psym, pasym = self.parity_tables(dtype_str)
         if ngroups is None:
-            import os as _os
-
             env = _os.environ.get("ECTRANS_TPU_LEG_GROUPS")
             ngroups = int(env) if env else max(1, min(16, M // 8))
+        src = _os.environ.get("ECTRANS_TPU_TABLE_SOURCE", "auto")
+        if src == "auto":
+            src = ("device"
+                   if (jax.default_backend() in ("tpu", "axon")
+                       and dtype_str in ("float32", "bfloat16"))
+                   else "host")
+        if src == "device":
+            from .ops import legendre_tablegen
+
+            return legendre_tablegen.materialize_full_legendre(
+                self, dtype_str, ngroups)
+
+        psym, pasym = self.parity_tables(dtype_str)
         bs = -(-M // ngroups)
         host_dt = psym.dtype
         groups = []
@@ -186,9 +208,11 @@ class Resolution:
             i0 = ndgnh - ig
             kg = (nmax - m0) // 2 + 1
             gm = m1 - m0
-            pn = np.empty((gm, ig, 2 * kg), dtype=host_dt)
-            pn[..., 0::2] = psym[m0:m1, i0:, :kg]
-            pn[..., 1::2] = pasym[m0:m1, i0:, :kg]
+            from .native import alloc_array  # THP-advised (page-fault host)
+
+            pn = alloc_array((gm, 2 * kg, ig), host_dt)
+            pn[:, 0::2, :] = np.swapaxes(psym[m0:m1, i0:, :kg], 1, 2)
+            pn[:, 1::2, :] = np.swapaxes(pasym[m0:m1, i0:, :kg], 1, 2)
             groups.append(FullGroup(
                 m0=m0, m1=m1, i0=i0, J=2 * kg,
                 pn=jnp.asarray(pn, dtype=dtype_str),
@@ -244,7 +268,7 @@ class GroupedLegendre:
 @dataclasses.dataclass(frozen=True)
 class FullGroup:
     """One contiguous m-group of the full-n interleaved table
-    (dense-row LT kernels): pn (m1-m0, ndgnh-i0, J), J = 2*kg."""
+    (dense-row LT kernels): pn (m1-m0, J, ndgnh-i0), J = 2*kg."""
 
     m0: int
     m1: int

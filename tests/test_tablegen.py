@@ -1,0 +1,48 @@
+"""Device-side Legendre table materializer vs the fp64 host build."""
+
+import numpy as np
+import pytest
+
+import ectrans_tpu as et
+from ectrans_tpu.ops import legendre_tablegen
+
+
+@pytest.mark.parametrize("name,nsmax", [("O48", 47), ("O160", 159)])
+def test_materialized_tables_match_host(name, nsmax):
+    res = et.setup(name, nsmax)
+    # host build (fp64 recurrence, exact reference)
+    import os
+
+    old = os.environ.get("ECTRANS_TPU_TABLE_SOURCE")
+    os.environ["ECTRANS_TPU_TABLE_SOURCE"] = "host"
+    try:
+        host = res.full_legendre("float32")
+    finally:
+        if old is None:
+            os.environ.pop("ECTRANS_TPU_TABLE_SOURCE", None)
+        else:
+            os.environ["ECTRANS_TPU_TABLE_SOURCE"] = old
+    res.full_legendre.cache_clear()
+    gen = legendre_tablegen.materialize_full_legendre(
+        res, "float32", ngroups=len(host.groups), interpret=True)
+    assert len(gen.groups) == len(host.groups)
+    for gh, gg in zip(host.groups, gen.groups):
+        a = np.asarray(gh.pn)
+        b = np.asarray(gg.pn)
+        assert a.shape == b.shape, (gh.m0, a.shape, b.shape)
+        # relative to the table's global scale (P-bar values are O(1));
+        # fp32 recurrence budget ~2e-6
+        err = np.abs(a - b).max() / max(1.0, np.abs(a).max())
+        assert err < 5e-6, (gh.m0, err)
+
+
+def test_materialized_underflow_region_is_zeroish():
+    """Polar high-m entries below fp32 tiny must flush to zero (exactly
+    like the fp32-cast host tables), never to garbage."""
+    res = et.setup("O160", 159)
+    gen = legendre_tablegen.materialize_full_legendre(
+        res, "float32", ngroups=4, interpret=True)
+    g = gen.groups[-1]  # highest m block: strongest polar decay
+    pn = np.asarray(g.pn)
+    assert np.isfinite(pn).all()
+    assert np.abs(pn).max() < 10.0  # normalized P-bar stay O(1)
