@@ -170,19 +170,23 @@ def stage_profile(res, dtype="float32"):
             dense_uv, dense_uv, ct["vd"]),
         "spnsde": _stage_time(
             spectral.ns_derivative, it, rtt, dense_sc, ct["nsd"]),
-        "dense_to_parity": _stage_time(
-            layout.dense_to_parity, it, rtt, dense_lt, tables),
         "fsc_ew_concat": _stage_time(
             fsc_concat, it, rtt, four_lt, tables.racthe),
-        "parity_to_dense": _stage_time(
-            lambda s, t: layout.parity_to_dense(s, s, t, NP), it, rtt,
-            sym, tables),
         "uvtvd": _stage_time(
             lambda u, v, t: spectral.uv_to_vordiv(u, v, t), it, rtt,
             dense_uv, dense_uv, ct["uvtvd"]),
         "dense_to_packed": _stage_time(
             layout.dense_to_packed, it, rtt, dense_dir, tables),
     }
+    from ectrans_tpu.ops import legendre_matmul as _lm
+
+    if _lm.engine(PRECISION) != "dense":
+        # parity relayouts exist only on the einsum engines' hot path
+        stages["dense_to_parity"] = _stage_time(
+            layout.dense_to_parity, it, rtt, dense_lt, tables)
+        stages["parity_to_dense"] = _stage_time(
+            lambda s, t: layout.parity_to_dense(s, s, t, NP), it, rtt,
+            sym, tables)
     return {k: round(v * 1e3, 2) for k, v in stages.items()}
 
 
@@ -209,10 +213,11 @@ def phase_profile(res, dtype="float32"):
     @jax.jit
     def leg_pair(sym, asym, gl, w):
         if eng == "dense":
-            # sym here is the dense spectral tensor; asym unused
+            # sym here is the dense spectral tensor; asym is a dummy kept
+            # so the chained-args signature matches the parity branch
             four = legendre_matmul.inv_dense(sym, gl, precision=PRECISION)
-            return legendre_matmul.dir_dense(four, gl, w, NP,
-                                             precision=PRECISION)
+            return (legendre_matmul.dir_dense(four, gl, w, NP,
+                                              precision=PRECISION), asym)
         four = legendre_matmul.inv_grouped(sym, asym, gl, precision=PRECISION)
         return legendre_matmul.dir_grouped(four, gl, w, precision=PRECISION)
 
@@ -337,9 +342,16 @@ def run(config: str, profile_phases: bool):
 
     nfld_total = 2 * NFLD_UV + NFLD_SC  # u, v, scalars transformed both ways
     gpps = res.grid.ngptot * nfld_total / dt
-    phases = phase_profile(res) if profile_phases else None
-    if phases is not None and os.environ.get("ECTRANS_BENCH_STAGES", "1") != "0":
-        phases["stages_ms"] = stage_profile(res)
+    # profiling must never discard a completed headline measurement
+    phases = None
+    try:
+        phases = phase_profile(res) if profile_phases else None
+        if phases is not None and os.environ.get(
+                "ECTRANS_BENCH_STAGES", "1") != "0":
+            phases["stages_ms"] = stage_profile(res)
+    except Exception as e:
+        print(f"# phase profiling failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     return gpps, dt, err, gate, phases
 
 

@@ -257,11 +257,18 @@ def bucketed_tables(grid_key, dtype_str: str, nbuckets: int = 6) -> BucketedTabl
 
 
 def bucketed_tables_for(res, dtype) -> BucketedTables:
+    import os
+
     import jax.numpy as jnp
 
     dt = "float64" if jnp.dtype(dtype) == jnp.float64 else "float32"
     key = (tuple(res.grid.nloen), tuple(int(x) for x in res.nmen), res.nsmax)
-    return bucketed_tables(key, dt)
+    # finer buckets tighten the per-bucket chirp length staircase (each
+    # bucket pays nfft = max nloen + 2*max nmen over its rows; the
+    # octahedral nloen slope makes polar buckets overshoot ~40% at 6
+    # buckets); more buckets trade that for extra per-bucket fixed cost
+    nb = int(os.environ.get("ECTRANS_TPU_FFT_BUCKETS", "12"))
+    return bucketed_tables(key, dt, nbuckets=nb)
 
 
 def synthesis_bucketed(fourier, mbt: BucketedTables, normalize: bool = True,
