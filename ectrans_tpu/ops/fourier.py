@@ -445,22 +445,11 @@ def _chunked_conv(ar, ai, bhr, bhi, out_len=None, prec=None):
     HBM.  NB: an unrolled Python loop, NOT lax.map — the while-loop
     lowering miscompiles on the axon TPU backend (wrong results; the same
     map is correct on CPU)."""
-    import os
-
     import jax.numpy as jnp
 
     from . import fft_fourstep
 
     nfft = bhr.shape[-1]
-
-    if os.environ.get("ECTRANS_TPU_PALLAS_CONV") == "1" and ar.ndim == 3:
-        from . import conv_pallas
-
-        if conv_pallas.supported(nfft, ar.dtype):
-            # experimental fused VMEM-resident kernel (see conv_pallas)
-            return conv_pallas.bluestein_conv(
-                ar, ai, bhr.reshape(-1, nfft), bhi.reshape(-1, nfft),
-                nfft if out_len is None else out_len)
 
     def body(car, cai):
         fr, fi = fft_fourstep.fft_ord(car, cai, nfft, prec)

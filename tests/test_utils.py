@@ -96,28 +96,3 @@ def test_gpnorm_tl_ad():
     lhs = float(jnp.sum(tl * y))
     rhs = float(jnp.sum(ad * x))
     assert abs(lhs - rhs) < 1e-12 * max(1.0, abs(lhs))
-
-
-def test_pallas_conv_interpret_matches_fft():
-    """Experimental fused Bluestein-conv Pallas kernel (interpret mode on
-    CPU) vs the numpy FFT reference."""
-    from ectrans_tpu.ops import conv_pallas as cp, fft_fourstep as fs
-
-    rng = np.random.default_rng(3)
-    n, nlat, F, in_len, out_len = 1280, 8, 2, 500, 900
-    ar = rng.standard_normal((F, nlat, in_len)).astype(np.float32)
-    ai = rng.standard_normal((F, nlat, in_len)).astype(np.float32)
-    bh = rng.standard_normal((nlat, n)) + 1j * rng.standard_normal((nlat, n))
-    om = fs.ord_map(n)
-    orr, oii = cp.bluestein_conv(
-        jnp.asarray(ar), jnp.asarray(ai),
-        jnp.asarray(bh.real[:, om].astype(np.float32)),
-        jnp.asarray(bh.imag[:, om].astype(np.float32)),
-        out_len, interpret=True,
-    )
-    a = np.zeros((F, nlat, n), np.complex128)
-    a[..., :in_len] = ar + 1j * ai
-    ref = np.fft.ifft(np.fft.fft(a, axis=-1) * bh[None], axis=-1)
-    got = np.asarray(orr)[..., :out_len] + 1j * np.asarray(oii)[..., :out_len]
-    err = np.abs(got - ref[..., :out_len]).max() / np.abs(ref).max()
-    assert err < 5e-5, err
