@@ -45,9 +45,14 @@ BASELINE_GPPS = {"TCO639": 2.13e8, "TCO1279": 1.78e8}
 
 PEAK_BF16 = 197e12   # TPU v5e MXU peak, bf16 FLOP/s
 FP32_PASSES = 6      # Precision.HIGHEST fp32 matmul = 6 bf16 MXU passes
-# bf16 MXU passes per fp32 FLOP at each public precision tier
+# bf16 MXU passes per fp32 FLOP of the LEGENDRE layer at each public tier
 TIER_PASSES = {"highest": 6, "high": 3, "bf16": 1}
-PRECISION = os.environ.get("ECTRANS_BENCH_PRECISION", "highest")
+# Default tier "high" = Legendre at 3-pass bf16 + FFT at full fp32: passes
+# the reference's 100*eps(fp32) benchmark gate at TCO1279 (measured
+# 3.7e-5 vs gate 6.3e-5) and mirrors the reference GPU backend's own
+# precision split (3xTF32 CUTLASS GEMMs + full-fp32 cuFFT).  The gate
+# below still enforces 100*eps on whatever tier runs.
+PRECISION = os.environ.get("ECTRANS_BENCH_PRECISION", "high")
 
 
 def _rtt(x_dev):
@@ -277,7 +282,7 @@ def phase_profile(res, dtype="float32"):
     }
 
 
-def run(config: str, profile_phases: bool):
+def run(config: str, profile_phases: bool, deadline: float | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -342,13 +347,24 @@ def run(config: str, profile_phases: bool):
 
     nfld_total = 2 * NFLD_UV + NFLD_SC  # u, v, scalars transformed both ways
     gpps = res.grid.ngptot * nfld_total / dt
-    # profiling must never discard a completed headline measurement
+    # profiling must never discard a completed headline measurement, and
+    # must never eat the driver's whole budget (the headline JSON matters
+    # more than the phase attribution — profiling compiles ~10 programs)
+    remaining = (deadline - time.time()) if deadline else float("inf")
     phases = None
     try:
-        phases = phase_profile(res) if profile_phases else None
-        if phases is not None and os.environ.get(
-                "ECTRANS_BENCH_STAGES", "1") != "0":
-            phases["stages_ms"] = stage_profile(res)
+        if profile_phases and remaining > 300:
+            phases = phase_profile(res)
+            remaining = (deadline - time.time()) if deadline else float("inf")
+            if remaining > 300 and os.environ.get(
+                    "ECTRANS_BENCH_STAGES", "1") != "0":
+                phases["stages_ms"] = stage_profile(res)
+            elif remaining <= 300:
+                print("# skipping stage profile: bench time budget",
+                      file=sys.stderr)
+        elif profile_phases:
+            print("# skipping phase profile: bench time budget",
+                  file=sys.stderr)
     except Exception as e:
         print(f"# phase profiling failed: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -374,7 +390,8 @@ def main():
             break
         try:
             # phase profiling only for the headline (first) config
-            results[config] = run(config, want_phases and i == 0)
+            results[config] = run(config, want_phases and i == 0,
+                                  deadline=t0 + budget)
         except Exception as e:  # OOM / compile failure: keep earlier result
             print(f"# {config} failed: {type(e).__name__}: {e}", file=sys.stderr)
     if not results:

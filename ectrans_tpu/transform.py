@@ -89,6 +89,23 @@ def _ew_derivative(four, racthe):
     return jnp.stack([-im * mvec, re * mvec], axis=1) * racthe
 
 
+def _pack_plan(res, eng):
+    """Compaction-kernel plan for the direct transform's packed output.
+    Active with the Pallas engines only (pallas_call has no transpose
+    rule, so the adjoints' _engine="xla" trace keeps the gather path);
+    ECTRANS_TPU_PACK_KERNEL=xla forces the gather."""
+    import os
+
+    from .ops import pack_pallas
+
+    knob = os.environ.get("ECTRANS_TPU_PACK_KERNEL", "auto")
+    if eng == "xla" or knob == "xla":
+        return None
+    if not pack_pallas.supported() and knob != "force":
+        return None  # "force" = interpret-mode run (CPU tests)
+    return pack_pallas.plan_for(res)
+
+
 def _check_spec(name, arr, res):
     if arr is not None and (arr.ndim != 2 or arr.shape[1] != res.nspec2):
         raise ValueError(
@@ -224,8 +241,8 @@ def _dir_ana_impl(tables, bt, u, v, scalars, normalize=True,
 
 @functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc", "precision",
                                              "leg_engine"))
-def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc, precision="highest",
-                 leg_engine="xla"):
+def _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv, has_sc,
+                 precision="highest", leg_engine="xla"):
     NP = tables.dense_gather.shape[2]
     ndgnh = gl.ndgnh
     if nfld_uv:
@@ -245,6 +262,23 @@ def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc, precision="highest",
         du = dense[:nfld_uv]
         dv = dense[nfld_uv : 2 * nfld_uv]
         dvor, ddiv = spectral.uv_to_vordiv(du, dv, ct["uvtvd"])
+    if pp is not None:
+        # one compaction-kernel pass over all output fields (the XLA
+        # per-element gather costs ~30 ms per 10-field TCO1279 round trip)
+        from .ops import pack_pallas
+
+        parts = ([dvor, ddiv] if nfld_uv else [])
+        if has_sc:
+            parts.append(dense[2 * nfld_uv :])
+        allp = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        packed = pack_pallas.dense_to_packed(allp, pp)
+        if nfld_uv:
+            spvor = packed[:nfld_uv]
+            spdiv = packed[nfld_uv : 2 * nfld_uv]
+        if has_sc:
+            spsc = packed[2 * nfld_uv :]
+        return spvor, spdiv, spsc
+    if nfld_uv:
         spvor = layout.dense_to_packed(dvor, tables)
         spdiv = layout.dense_to_packed(ddiv, tables)
     if has_sc:
@@ -252,12 +286,13 @@ def _dir_lt_impl(tables, gl, ct, four, nfld_uv, has_sc, precision="highest",
     return spvor, spdiv, spsc
 
 
-def _dir_impl(tables, gl, ct, bt, u, v, scalars, normalize=True,
+def _dir_impl(tables, gl, ct, bt, pp, u, v, scalars, normalize=True,
               precision="highest", leg_engine="xla"):
     four = _dir_ana_impl(tables, bt, u, v, scalars, normalize, precision)
     nfld_uv = u.shape[0] if u is not None else 0
-    return _dir_lt_impl(tables, gl, ct, four, nfld_uv, scalars is not None,
-                        precision=precision, leg_engine=leg_engine)
+    return _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv,
+                        scalars is not None, precision=precision,
+                        leg_engine=leg_engine)
 
 
 def inv_trans(
@@ -415,5 +450,6 @@ def dir_trans(
           else res.grouped_legendre(_table_dtype(dtype, precision)))
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
-    return _dir_impl(tables, gl, ct, bt, u, v, scalars, _normalize, precision,
-                     eng)
+    pp = _pack_plan(res, eng)
+    return _dir_impl(tables, gl, ct, bt, pp, u, v, scalars, _normalize,
+                     precision, eng)

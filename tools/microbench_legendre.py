@@ -14,7 +14,10 @@ dead-code-eliminate any of the matmul work.
 Usage: python tools/microbench_legendre.py [fc] [HIGHEST|HIGH|DEFAULT]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -16,7 +16,10 @@ Configs: F1024 (linear grid, fp32 tier "highest", 8.0 GiB tables)
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

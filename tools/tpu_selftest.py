@@ -23,7 +23,10 @@ Exit code 0 = all pass.  Run:  python tools/tpu_selftest.py
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
