@@ -47,12 +47,13 @@ PEAK_BF16 = 197e12   # TPU v5e MXU peak, bf16 FLOP/s
 FP32_PASSES = 6      # Precision.HIGHEST fp32 matmul = 6 bf16 MXU passes
 # bf16 MXU passes per fp32 FLOP of the LEGENDRE layer at each public tier
 TIER_PASSES = {"highest": 6, "high": 3, "bf16": 1}
-# Default tier "high" = Legendre at 3-pass bf16 + FFT at full fp32: passes
-# the reference's 100*eps(fp32) benchmark gate at TCO1279 (measured
-# 3.7e-5 vs gate 6.3e-5) and mirrors the reference GPU backend's own
-# precision split (3xTF32 CUTLASS GEMMs + full-fp32 cuFFT).  The gate
-# below still enforces 100*eps on whatever tier runs.
-PRECISION = os.environ.get("ECTRANS_BENCH_PRECISION", "high")
+# Default tier "highest" (full fp32 everywhere): measured at TCO1279 the
+# Legendre layer is HBM-bandwidth-bound, so 6-pass vs 3-pass MXU costs
+# the same wall time (0.162 vs 0.163 s/roundtrip) — full precision is
+# free.  The "high" tier also FAILS the all-field 100*eps gate at
+# TCO1279 (vor/div UVTVD n-amplification: 2e-3 vs gate 6.3e-5), so there
+# is no reason to run it on this hardware.
+PRECISION = os.environ.get("ECTRANS_BENCH_PRECISION", "highest")
 
 
 def _rtt(x_dev):
@@ -184,7 +185,16 @@ def stage_profile(res, dtype="float32"):
             layout.dense_to_packed, it, rtt, dense_dir, tables),
     }
     from ectrans_tpu.ops import legendre_matmul as _lm
+    from ectrans_tpu.ops import pack_pallas as _pk
 
+    if _pk.supported():
+        # the production packed-output route (compaction kernel incl. the
+        # realign+transpose front); "dense_to_packed" above is the XLA
+        # gather it replaced, kept for comparison
+        plan = _pk.plan_for(res)
+        stages["pack_kernel"] = _stage_time(
+            lambda x, p: _pk.dense_to_packed(x, p), it, rtt,
+            dense_dir, plan)
     if _lm.engine(PRECISION) != "dense":
         # parity relayouts exist only on the einsum engines' hot path
         stages["dense_to_parity"] = _stage_time(
@@ -324,14 +334,25 @@ def run(config: str, profile_phases: bool, deadline: float | None = None):
     np.asarray(out[2].ravel()[:1])
 
     # correctness gate at the reference's ctest multiple: 100*eps relative
-    # (--check 100, ectrans-benchmark.F90:850-860); the bf16 tier uses the
-    # reference's own relaxed FLT precedent (1e6*eps, tests/CMakeLists.txt:316)
-    err = float(jnp.max(jnp.abs(out[2] - spsc)))
-    scale = float(jnp.max(jnp.abs(spsc)))
+    # (--check 100, ectrans-benchmark.F90:850-860) over EVERY field family
+    # — vor/div included (their UVTVD n-amplification is the binding
+    # constraint at reduced precision).  The (m=0, n=0) coefficient of
+    # vor/div carries no wind information (reference UVTVD also returns 0
+    # there) and is excluded.  The bf16 tier uses the reference's own
+    # relaxed FLT precedent (1e6*eps, tests/CMakeLists.txt:316).
     ncheck = 1e6 if PRECISION == "bf16" else 100
-    gate = ncheck * float(np.finfo(np.float32).eps) * scale
+    err, gate, worst = 0.0, 1.0, 0.0
+    for got, ref in zip(out, (spvor, spdiv, spsc)):
+        d = np.abs(np.asarray(got) - np.asarray(ref))
+        if ref is not spsc:
+            d[:, :2] = 0.0
+        e, s = float(d.max()), float(jnp.max(jnp.abs(ref)))
+        g = ncheck * float(np.finfo(np.float32).eps) * s
+        if not np.isfinite(e) or e / g > worst:
+            err, gate, worst = e, g, e / g if np.isfinite(e) else np.inf
     if not np.isfinite(err) or err > gate:
-        raise RuntimeError(f"correctness gate failed: err {err} > 100*eps*max = {gate}")
+        raise RuntimeError(
+            f"correctness gate failed: err {err} > {ncheck:g}*eps*max = {gate}")
 
     # steady-state pre-loop (first post-compile executions run ~2x slower)
     for _ in range(3):

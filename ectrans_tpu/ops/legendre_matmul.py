@@ -29,13 +29,15 @@ import jax.numpy as jnp
 # Public precision tiers (the API-level knob; VERDICT round-2 item 5):
 #   "highest" — full fp32-mantissa coverage (XLA HIGHEST / pallas bf16x6)
 #               in BOTH the Legendre and FFT layers
-#   "high"    — Legendre at 3-pass bf16 (~2^-21 relative), FFT at full
-#               fp32: measured inside the reference's 100*eps(fp32)
-#               benchmark gate at TCO1279 (3.7e-5 vs gate 6.3e-5), while
-#               3-pass FFTs break it (3.3e-4 — chirp-z conv lengths
-#               amplify the operand rounding).  Mirrors the reference GPU
-#               backend: 3xTF32 CUTLASS GEMMs + full-fp32 cuFFT
-#               (hicblas_cutlass.cuda.h).
+#   "high"    — Legendre at 3-pass bf16 (~2^-16 operand split), FFT at
+#               full fp32 (3-pass FFTs break the 100*eps gate at TCO1279:
+#               3.3e-4 — chirp-z conv lengths amplify operand rounding).
+#               Scalar round trips pass the gate (3.7e-5 vs 6.3e-5) but
+#               vor/div do NOT (UVTVD n-amplification: ~2e-3); and the LT
+#               is measured HBM-BANDWIDTH-BOUND at TCO1279, so this tier
+#               buys no wall time over "highest" (0.163 vs 0.162 s).
+#               Kept for parity with the reference GPU's 3xTF32 CUTLASS
+#               path (hicblas_cutlass.cuda.h); prefer "highest" on TPU.
 #   "bf16"    — single bf16 pass everywhere; the measured low-precision
 #               mode, gated at the reference's FLT precedent (1e6*eps,
 #               tests/CMakeLists.txt:316)
@@ -97,6 +99,15 @@ def inv_dense(dense, fl, precision: str = "highest"):
 
     return legendre_pallas.legendre_inv_dense(
         dense, fl, mode=_PALLAS_MODE[precision], interpret=_interpret())
+
+
+def dir_rows(fourier, fl, w, precision: str = "highest"):
+    """Dense-row direct LT in the kernels' native m-major layout: list of
+    per-group (gm, 2*nfld, J) c-major realigned rows (no dense tensor)."""
+    from . import legendre_pallas
+
+    return legendre_pallas.legendre_dir_rows(
+        fourier, fl, w, mode=_PALLAS_MODE[precision], interpret=_interpret())
 
 
 def dir_dense(fourier, fl, w, NP, precision: str = "highest"):

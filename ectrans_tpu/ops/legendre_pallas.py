@@ -332,6 +332,31 @@ def legendre_inv_dense(dense, fl, mode="bf16x3", interpret=False):
     return jnp.concatenate(parts, axis=2)
 
 
+def legendre_dir_rows(fourier, fl, w, mode="bf16x3", interpret=False):
+    """Dense-row direct LT emitting the kernels' NATIVE m-major layout:
+    a list of per-group (gm, 2*nfld, J) realigned rows, sublane index
+    c * nfld + f (c-major).  Skips the swapaxes/pad/concat/unalign that
+    legendre_dir_dense pays to materialise the (nfld, 2, M, NP) dense
+    tensor — the m-major packed pipeline consumes the rows directly."""
+    nfld = fourier.shape[0]
+    ndgnh = fl.ndgnh
+    fc = fourier.swapaxes(0, 1)               # (2, nfld, M, ndgl): c-major
+    north_all = fc[..., :ndgnh]
+    south_all = fc[..., : ndgnh - 1 : -1]
+    fn_all = north_all * w
+    fs_all = south_all * w
+    fn_all, fs_all = jax.lax.optimization_barrier((fn_all, fs_all))
+    rows = []
+    for g in fl.groups:
+        fc2 = 2 * nfld
+        gm = g.m1 - g.m0
+        fn = fn_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
+        fs = fs_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
+        rows.append(group_dir_dense(fn, fs, g.pn, mode=mode,
+                                    interpret=interpret))
+    return rows
+
+
 def legendre_dir_dense(fourier, fl, w, NP, mode="bf16x3", interpret=False):
     """Dense-row direct LT: (nfld, 2, M, ndgl) fourier + NH weights ->
     (nfld, 2, M, NP) dense spectral rows (quadrature applied)."""

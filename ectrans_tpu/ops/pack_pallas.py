@@ -225,6 +225,34 @@ def dense_to_packed(dense, plan: PackPlan, interpret=None):
     return packed_from_mmajor(mm, plan, interpret=interpret)
 
 
+def groups_match(plan: PackPlan, fl) -> bool:
+    """True when the plan's m-groups coincide with a FullLegendre's (the
+    per-group pipeline feeds kernel rows straight into compaction)."""
+    return (len(plan.groups) == len(fl.groups)
+            and all(gp.m0 == g.m0 and gp.m1 == g.m1
+                    for gp, g in zip(plan.groups, fl.groups)))
+
+
+def packed_from_group_rows(rows_list, plan: PackPlan, interpret=None):
+    """Per-group c-major m-major realigned rows [(gm, 2*nfld, Jg), ...]
+    (one entry per plan group) -> packed (nfld, nspec2)."""
+    if interpret is None:
+        interpret = not supported()
+    R = plan.tile // 2
+    segs = []
+    for rows, gp in zip(rows_list, plan.groups):
+        nfld = rows.shape[1] // 2
+        take = min(gp.Jpad, rows.shape[2])
+        total = -(-(R + gp.Jpad + R) // 128) * 128
+        segs.append(_compact_group(
+            jnp.pad(rows[:, :, :take],
+                    [(0, 0), (0, 0), (R, total - R - take)]),
+            gp.rowm, gp.otile, gp.qoff, gp.lm2, gp.jsr,
+            nfld=nfld, tile=plan.tile, seglen=gp.seglen,
+            interpret=interpret))
+    return jnp.concatenate(segs, axis=1)
+
+
 def packed_from_mmajor(mm, plan: PackPlan, interpret=None):
     """m-major c-major realigned rows (M, 2*nfld, W1) -> packed
     (nfld, nspec2).  Rows may carry neighbouring-row garbage beyond each

@@ -77,6 +77,7 @@ def _coeff_tables(res: Resolution, dtype_str: str):
     return jax.device_put(dict(
         vd=spectral.vordiv_coeff_tables(res, np_dtype),
         uvtvd=spectral.uvtvd_coeff_tables(res, np_dtype),
+        uvtvd_mm=spectral.uvtvd_coeff_tables_mmajor(res, np_dtype),
         nsd=spectral.nsder_coeff_tables(res, np_dtype),
     ))
 
@@ -250,6 +251,39 @@ def _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv, has_sc,
         racthe = tables.racthe[None, None, None, :]
         uvpart = four[: 2 * nfld_uv] * racthe
         four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
+    if leg_engine == "dense" and pp is not None:
+        from .ops import pack_pallas
+
+        if pack_pallas.groups_match(pp, gl):
+            # fully m-major pipeline: kernel-native rows -> m-major UVTVD
+            # -> compaction, never materialising the (nfld, 2, M, NP)
+            # dense tensor (saves its swapaxes/unalign assembly AND the
+            # realign+transpose in front of the compaction kernel)
+            nfld_in = four.shape[0]
+            nsc = nfld_in - 2 * nfld_uv
+            rows_list = legendre_matmul.dir_rows(
+                four, gl, tables.w[:ndgnh], precision=precision)
+            out_rows = []
+            for rows, g in zip(rows_list, gl.groups):
+                if nfld_uv:
+                    vd = spectral.uv_to_vordiv_rows(
+                        rows, g.m0, nfld_uv, nfld_in, ct["uvtvd_mm"])
+                    parts = [vd[:, : 2 * nfld_uv]]
+                    if nsc:
+                        parts.append(rows[:, 2 * nfld_uv : nfld_in])
+                    parts.append(vd[:, 2 * nfld_uv :])
+                    if nsc:
+                        parts.append(rows[:, nfld_in + 2 * nfld_uv :])
+                    rows = jnp.concatenate(parts, axis=1)
+                out_rows.append(rows)
+            packed = pack_pallas.packed_from_group_rows(out_rows, pp)
+            spvor = spdiv = spsc = None
+            if nfld_uv:
+                spvor = packed[:nfld_uv]
+                spdiv = packed[nfld_uv : 2 * nfld_uv]
+            if has_sc:
+                spsc = packed[2 * nfld_uv :]
+            return spvor, spdiv, spsc
     if leg_engine == "dense":
         dense = legendre_matmul.dir_dense(four, gl, tables.w[:ndgnh], NP,
                                           precision=precision)
