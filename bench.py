@@ -216,7 +216,11 @@ def phase_profile(res, dtype="float32"):
 
     eng = legendre_matmul.engine(PRECISION)
     tdt = ("bfloat16" if PRECISION == "bf16" else str(jnp.dtype(dtype)))
-    if eng == "dense":
+    if eng == "planes":
+        from ectrans_tpu.ops import legendre_planes
+
+        gl = res.planes_legendre(legendre_planes.planes_for_tier(PRECISION))
+    elif eng == "dense":
         gl = res.full_legendre(tdt)
     else:
         gl = res.grouped_legendre(tdt)
@@ -227,6 +231,10 @@ def phase_profile(res, dtype="float32"):
 
     @jax.jit
     def leg_pair(sym, asym, gl, w):
+        if eng == "planes":
+            four = legendre_matmul.inv_planes(sym, gl, precision=PRECISION)
+            return (legendre_matmul.dir_planes(four, gl, w, NP,
+                                               precision=PRECISION), asym)
         if eng == "dense":
             # sym here is the dense spectral tensor; asym is a dummy kept
             # so the chained-args signature matches the parity branch
@@ -243,7 +251,7 @@ def phase_profile(res, dtype="float32"):
                                          prec=PRECISION)
 
     def sym_in(F):
-        if eng == "dense":
+        if eng in ("dense", "planes"):
             return (
                 jnp.asarray(rng.standard_normal((F, 2, res.M, NP)), dtype),
                 jnp.zeros((1,), dtype),

@@ -50,19 +50,22 @@ _PALLAS_MODE = {"highest": "bf16x6", "high": "bf16x3", "bf16": "bf16"}
 
 
 def engine(precision: str = "highest") -> str:
-    """Select the LT engine for a precision tier: "dense" (Pallas
-    dense-row kernels — no parity relayout of the inputs), "pallas"
-    (parity-split streaming kernels), or "xla" (grouped einsums).
+    """Select the LT engine for a precision tier: "planes" (bf16
+    limb-plane kernels — full fp32 accuracy in nplanes table streams,
+    the production TPU engine since round 4), "dense" (round-3 Pallas
+    dense-row kernels), "pallas" (parity-split streaming kernels), or
+    "xla" (grouped einsums — CPU/tests and the fp64 path).
 
-    auto (measured on the v5e axon backend, round 3): the dense-row
-    kernels win at every tier by removing the 20+ ms stride-2 parity
-    relayout; XLA einsums serve CPU (tests) natively."""
+    auto (measured on the v5e axon backend, round 4): the plane kernels
+    cut the Legendre wall time ~4x over the round-3 dense-row kernels by
+    streaming the tables as bf16 limb planes with the coefficient limbs
+    packed into otherwise-idle MXU rows (see ops/legendre_planes.py)."""
     kern = os.environ.get("ECTRANS_TPU_LEG_KERNEL", "auto")
-    if kern in ("xla", "pallas", "dense"):
+    if kern in ("xla", "pallas", "dense", "planes"):
         return kern
-    from . import legendre_pallas
+    from . import legendre_planes
 
-    return "dense" if legendre_pallas.supported() else "xla"
+    return "planes" if legendre_planes.supported() else "xla"
 
 
 def _interpret() -> bool:
@@ -117,6 +120,37 @@ def dir_dense(fourier, fl, w, NP, precision: str = "highest"):
 
     return legendre_pallas.legendre_dir_dense(
         fourier, fl, w, NP, mode=_PALLAS_MODE[precision],
+        interpret=_interpret())
+
+
+def inv_planes(dense, ppl, precision: str = "highest"):
+    """Plane-engine inverse LT (engine "planes"): (nfld, 2, M, NP) ->
+    (nfld, 2, M, ndgl).  ppl: resolution.planes_legendre tables."""
+    from . import legendre_planes
+
+    return legendre_planes.legendre_inv_planes(
+        dense, ppl, nplanes=legendre_planes.planes_for_tier(precision),
+        interpret=_interpret())
+
+
+def dir_rows_planes(fourier, ppl, w, precision: str = "highest"):
+    """Plane-engine direct LT in the m-major native layout (list of
+    per-group (gm, 2*nfld, J) realigned rows)."""
+    from . import legendre_planes
+
+    return legendre_planes.legendre_dir_rows_planes(
+        fourier, ppl, w, nplanes=legendre_planes.planes_for_tier(precision),
+        interpret=_interpret())
+
+
+def dir_planes(fourier, ppl, w, NP, precision: str = "highest"):
+    """Plane-engine direct LT to the dense layout: (nfld, 2, M, ndgl) +
+    NH weights -> (nfld, 2, M, NP) dense spectral rows."""
+    from . import legendre_planes
+
+    return legendre_planes.legendre_dir_planes(
+        fourier, ppl, w, NP,
+        nplanes=legendre_planes.planes_for_tier(precision),
         interpret=_interpret())
 
 

@@ -86,7 +86,7 @@ def _ds_sub(xh, xl, yh, yl):
     return h, e - (h - s)
 
 
-def _gen_kernel(ca_ref, cb_ref, sm_ref, se_ref, mu_ref, out_ref):
+def _gen_kernel(ca_ref, cb_ref, sm_ref, sl_ref, se_ref, mu_ref, out_ref):
     """Generate one m's table rows: out[0, t, :] = P̄_{m+t}(mu).
 
     The whole recurrence runs in compensated double-single fp32
@@ -103,7 +103,12 @@ def _gen_kernel(ca_ref, cb_ref, sm_ref, se_ref, mu_ref, out_ref):
     mu_hi = mu_ref[0, 0:1, :]
     mu_lo = mu_ref[0, 1:2, :]
     ph = sm_ref[0]                       # (1, ig) scaled seed mantissa (hi)
-    pl_ = jnp.zeros_like(ph)
+    pl_ = sl_ref[0]                      # (1, ig) seed mantissa low part:
+    # single-fp32 seeds cost ~2^-24 relative error that the chain carries
+    # into every row — measured 1.9e-6 absolute on the emitted tables at
+    # T639 (round 3's roundtrip-error regression); (hi, lo) seeds put the
+    # whole chain at double-single accuracy, leaving only the fp32
+    # emission rounding (~6e-8).
     E = se_ref[0]                        # (1, ig) int32 exponent
     qh = jnp.zeros_like(ph)
     ql = jnp.zeros_like(ph)
@@ -140,12 +145,13 @@ def _gen_kernel(ca_ref, cb_ref, sm_ref, se_ref, mu_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("J", "out_dtype", "interpret"))
-def _gen_group(coefA, coefB, seed_mant, seed_exp, mu, J, out_dtype="float32",
-               interpret=False):
+def _gen_group(coefA, coefB, seed_mant, seed_lo, seed_exp, mu, J,
+               out_dtype="float32", interpret=False):
     """Materialize one group's table (gm, J, ig) on device.
 
     coefA/coefB: (gm, 2*(J+2)) lane-interleaved (hi, lo) recurrence
-    coefficient pairs (SMEM scalars); seed_mant/seed_exp: (gm, 1, ig);
+    coefficient pairs (SMEM scalars); seed_mant/seed_lo/seed_exp:
+    (gm, 1, ig) — (hi, lo) double-single seed mantissas + int32 exponents;
     mu: (1, 2, ig) — (hi, lo) node pairs."""
     import jax
     from jax.experimental import pallas as pl
@@ -164,6 +170,7 @@ def _gen_group(coefA, coefB, seed_mant, seed_exp, mu, J, out_dtype="float32",
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ig), lambda m: (m, 0, 0)),
             pl.BlockSpec((1, 1, ig), lambda m: (m, 0, 0)),
+            pl.BlockSpec((1, 1, ig), lambda m: (m, 0, 0)),
             pl.BlockSpec((1, 2, ig), lambda m: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, J, ig), lambda m: (m, 0, 0)),
@@ -171,7 +178,7 @@ def _gen_group(coefA, coefB, seed_mant, seed_exp, mu, J, out_dtype="float32",
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(coefA, coefB, seed_mant, seed_exp, mu)
+    )(coefA, coefB, seed_mant, seed_lo, seed_exp, mu)
 
 
 @functools.lru_cache(maxsize=4)
@@ -191,8 +198,10 @@ def _host_inputs(res):
     m2, e2 = np.frexp(smant64)
     sexp = (sexp64 + e2).astype(np.int32)
     smant = m2.astype(np.float32)
+    slo = (m2 - smant.astype(np.float64)).astype(np.float32)
     mask = np.arange(M)[:, None] <= nmen[None, :]
     smant = np.where(mask, smant, np.float32(0.0))
+    slo = np.where(mask, slo, np.float32(0.0))
 
     eps = eps_table(nsmax, 3)
     T = nmax + 3
@@ -219,7 +228,7 @@ def _host_inputs(res):
     mu_hi = mu.astype(np.float32)
     mu_lo = (mu - mu_hi.astype(np.float64)).astype(np.float32)
     mu2 = np.stack([mu_hi, mu_lo], axis=0)[None]    # (1, 2, ndgnh)
-    return (ds(A), ds(B), smant, sexp, mu2)
+    return (ds(A), ds(B), smant, slo, sexp, mu2)
 
 
 def materialize_full_legendre(res, dtype_str="float32",
@@ -230,7 +239,7 @@ def materialize_full_legendre(res, dtype_str="float32",
 
     from ..resolution import FullGroup, FullLegendre
 
-    A, B, smant, sexp, mu = _host_inputs(res)
+    A, B, smant, slo, sexp, mu = _host_inputs(res)
     M, ndgnh, nmax = res.M, res.ndgnh, res.nsmax + 1
     bs = -(-M // ngroups)
     groups = []
@@ -250,6 +259,7 @@ def materialize_full_legendre(res, dtype_str="float32",
             jnp.asarray(A[m0:m1, None, : 2 * (J + 2)]),
             jnp.asarray(B[m0:m1, None, : 2 * (J + 2)]),
             jnp.asarray(smant[m0:m1, None, i0:]),
+            jnp.asarray(slo[m0:m1, None, i0:]),
             jnp.asarray(sexp[m0:m1, None, i0:]),
             jnp.asarray(mu[:, :, i0:]),
             J=J, out_dtype="float32", interpret=interpret,

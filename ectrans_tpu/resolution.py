@@ -156,6 +156,10 @@ class Resolution:
     @functools.lru_cache(maxsize=4)
     def full_legendre(self, dtype_str: str = "float32",
                       ngroups: int | None = None) -> "FullLegendre":
+        return self._build_full_legendre(dtype_str, ngroups)
+
+    def _build_full_legendre(self, dtype_str: str = "float32",
+                             ngroups: int | None = None) -> "FullLegendre":
         """Per-m-group FULL-n Legendre tensors for the dense-row kernels.
 
         pn[m, j, i] = P̄_{m+j}^m(mu_i) — sym/antisym rows interleaved along
@@ -218,6 +222,40 @@ class Resolution:
                 pn=jnp.asarray(pn, dtype=dtype_str),
             ))
         return FullLegendre(groups=tuple(groups), ndgnh=ndgnh, kmax=self.kmax)
+
+    @functools.lru_cache(maxsize=2)
+    def planes_legendre(self, nplanes: int = 3,
+                        ngroups: int | None = None) -> "PlanesLegendre":
+        """Per-m-group bf16 limb-plane Legendre tables for the "planes"
+        engine (``ops.legendre_planes``): each fp32 table value is split
+        into ``nplanes`` bf16 planes (P0+P1+P2 == fp32 to ~2^-25), stored
+        in BOTH contraction layouts — natural (J, lat) for the inverse and
+        transposed (lat, J) for the direct — so neither kernel transposes.
+
+        nplanes=3 is the fp32-accurate tier (6 bytes/entry/layout);
+        nplanes=1 is the bf16 tier (2 bytes/entry/layout — the memory mode
+        covering the reference's butterfly-compression role,
+        ``butterfly_alg_mod.F90``)."""
+        import jax
+
+        from .ops import legendre_planes as lp
+
+        _ensure_pytrees()
+        # UNCACHED fp32 source build: the fp32 tables are a ~2 GB
+        # (TCO1279) transient consumed group-by-group — retaining them in
+        # the full_legendre cache alongside the planes OOMs the chip.
+        fl = self._build_full_legendre("float32", ngroups)
+        split = jax.jit(lambda pn: lp.split_planes(pn, nplanes),
+                        static_argnums=())
+        groups = []
+        for g in fl.groups:
+            p = tuple(jax.block_until_ready(split(g.pn)))
+            pt = tuple(pk.swapaxes(1, 2) for pk in p)
+            groups.append(PlanesGroup(m0=g.m0, m1=g.m1, i0=g.i0, J=g.J,
+                                      p=p, pt=pt))
+            g.pn.delete()  # free the fp32 group before building the next
+        return PlanesLegendre(groups=tuple(groups), ndgnh=fl.ndgnh,
+                              kmax=fl.kmax)
 
     @functools.lru_cache(maxsize=4)
     def device_tables(self, dtype: Any = np.float32) -> "DeviceTables":
@@ -284,6 +322,27 @@ class FullLegendre:
     kmax: int
 
 
+@dataclasses.dataclass(frozen=True)
+class PlanesGroup:
+    """One contiguous m-group of bf16 limb-plane tables ("planes" engine):
+    p[k] (m1-m0, J, ndgnh-i0) natural, pt[k] (m1-m0, ndgnh-i0, J)
+    transposed; sum_k p[k] reproduces the fp32 table to ~2^-25."""
+
+    m0: int
+    m1: int
+    i0: int
+    J: int
+    p: tuple
+    pt: tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanesLegendre:
+    groups: tuple
+    ndgnh: int
+    kmax: int
+
+
 def _register_pytrees():
     """Register the table containers as JAX pytrees so they are passed to
     jitted kernels as runtime *arguments* — never closed over (a closed-over
@@ -308,6 +367,16 @@ def _register_pytrees():
     )
     jax.tree_util.register_dataclass(
         FullLegendre,
+        data_fields=["groups"],
+        meta_fields=["ndgnh", "kmax"],
+    )
+    jax.tree_util.register_dataclass(
+        PlanesGroup,
+        data_fields=["p", "pt"],
+        meta_fields=["m0", "m1", "i0", "J"],
+    )
+    jax.tree_util.register_dataclass(
+        PlanesLegendre,
         data_fields=["groups"],
         meta_fields=["ndgnh", "kmax"],
     )
@@ -430,6 +499,7 @@ def trans_end() -> None:
     Resolution.parity_tables.cache_clear()
     Resolution.grouped_legendre.cache_clear()
     Resolution.full_legendre.cache_clear()
+    Resolution.planes_legendre.cache_clear()
     Resolution.device_tables.cache_clear()
     from .ops import fourier
 

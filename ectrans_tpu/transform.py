@@ -107,6 +107,27 @@ def _pack_plan(res, eng):
     return pack_pallas.plan_for(res)
 
 
+def _leg_tables(res, eng, dtype, precision):
+    """Fetch the Legendre tables an engine consumes: limb planes
+    ("planes"), full-n interleaved ("dense"), or parity pairs
+    ("xla"/"pallas")."""
+    if eng == "planes":
+        from .ops import legendre_planes
+
+        return res.planes_legendre(legendre_planes.planes_for_tier(precision))
+    if eng == "dense":
+        return res.full_legendre(_table_dtype(dtype, precision))
+    return res.grouped_legendre(_table_dtype(dtype, precision))
+
+
+def _resolve_engine(eng, dtype):
+    """bf16 limb planes cannot carry fp64 accuracy — fp64 transforms fall
+    back to the XLA einsum engine with true fp64 tables."""
+    if eng == "planes" and jnp.dtype(dtype) == jnp.float64:
+        return "xla"
+    return eng
+
+
 def _check_spec(name, arr, res):
     if arr is not None and (arr.ndim != 2 or arr.shape[1] != res.nspec2):
         raise ValueError(
@@ -159,7 +180,12 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
             lt_inputs.append(spectral.ns_derivative(dsc, ct["nsd"]))
     dense_all = (jnp.concatenate(lt_inputs, axis=0)
                  if len(lt_inputs) > 1 else lt_inputs[0])
-    if leg_engine == "dense":
+    if leg_engine == "planes":
+        # bf16 limb-plane kernels (the production TPU engine): consume the
+        # realigned dense rows directly, stream the tables nplanes times
+        four_all = legendre_matmul.inv_planes(dense_all, gl,
+                                              precision=precision)
+    elif leg_engine == "dense":
         # dense-row kernels consume the diagonal-realigned dense rows
         # directly — no parity split/recombination relayouts
         four_all = legendre_matmul.inv_dense(dense_all, gl,
@@ -251,7 +277,7 @@ def _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv, has_sc,
         racthe = tables.racthe[None, None, None, :]
         uvpart = four[: 2 * nfld_uv] * racthe
         four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
-    if leg_engine == "dense" and pp is not None:
+    if leg_engine in ("dense", "planes") and pp is not None:
         from .ops import pack_pallas
 
         if pack_pallas.groups_match(pp, gl):
@@ -261,8 +287,12 @@ def _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv, has_sc,
             # realign+transpose in front of the compaction kernel)
             nfld_in = four.shape[0]
             nsc = nfld_in - 2 * nfld_uv
-            rows_list = legendre_matmul.dir_rows(
-                four, gl, tables.w[:ndgnh], precision=precision)
+            if leg_engine == "planes":
+                rows_list = legendre_matmul.dir_rows_planes(
+                    four, gl, tables.w[:ndgnh], precision=precision)
+            else:
+                rows_list = legendre_matmul.dir_rows(
+                    four, gl, tables.w[:ndgnh], precision=precision)
             out_rows = []
             for rows, g in zip(rows_list, gl.groups):
                 if nfld_uv:
@@ -284,7 +314,10 @@ def _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv, has_sc,
             if has_sc:
                 spsc = packed[2 * nfld_uv :]
             return spvor, spdiv, spsc
-    if leg_engine == "dense":
+    if leg_engine == "planes":
+        dense = legendre_matmul.dir_planes(four, gl, tables.w[:ndgnh], NP,
+                                           precision=precision)
+    elif leg_engine == "dense":
         dense = legendre_matmul.dir_dense(four, gl, tables.w[:ndgnh], NP,
                                           precision=precision)
     else:
@@ -375,9 +408,9 @@ def inv_trans(
                             fspgl_proc, npromatr, precision, _normalize)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
-    eng = _engine or legendre_matmul.engine(precision)
-    gl = (res.full_legendre(_table_dtype(dtype, precision)) if eng == "dense"
-          else res.grouped_legendre(_table_dtype(dtype, precision)))
+    eng = _resolve_engine(_engine or legendre_matmul.engine(precision),
+                          dtype)
+    gl = _leg_tables(res, eng, dtype, precision)
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
     return _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
@@ -479,9 +512,9 @@ def dir_trans(
                 jnp.concatenate(ss_p) if ss_p else None)
     dtype = jnp.dtype(dtype)
     tables = res.device_tables(dtype)
-    eng = _engine or legendre_matmul.engine(precision)
-    gl = (res.full_legendre(_table_dtype(dtype, precision)) if eng == "dense"
-          else res.grouped_legendre(_table_dtype(dtype, precision)))
+    eng = _resolve_engine(_engine or legendre_matmul.engine(precision),
+                          dtype)
+    gl = _leg_tables(res, eng, dtype, precision)
     ct = _coeff_tables(res, str(dtype))
     bt = fourier.bucketed_tables_for(res, dtype)
     pp = _pack_plan(res, eng)
