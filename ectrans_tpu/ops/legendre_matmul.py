@@ -50,22 +50,26 @@ _PALLAS_MODE = {"highest": "bf16x6", "high": "bf16x3", "bf16": "bf16"}
 
 
 def engine(precision: str = "highest") -> str:
-    """Select the LT engine for a precision tier: "planes" (bf16
-    limb-plane kernels — full fp32 accuracy in nplanes table streams,
-    the production TPU engine since round 4), "dense" (round-3 Pallas
-    dense-row kernels), "pallas" (parity-split streaming kernels), or
-    "xla" (grouped einsums — CPU/tests and the fp64 path).
+    """Select the LT engine for a precision tier: "dense" (Pallas
+    dense-row kernels — the production TPU engine), "planes" (bf16
+    limb-plane kernels, opt-in experiment), "pallas" (parity-split
+    streaming kernels), or "xla" (grouped einsums — CPU/tests and the
+    fp64 path).
 
-    auto (measured on the v5e axon backend, round 4): the plane kernels
-    cut the Legendre wall time ~4x over the round-3 dense-row kernels by
-    streaming the tables as bf16 limb planes with the coefficient limbs
-    packed into otherwise-idle MXU rows (see ops/legendre_planes.py)."""
+    auto (measured on the v5e axon backend, round 4): "dense" wins.  The
+    limb-plane formulation was predicted ~4x faster from MXU row
+    occupancy (120/128 packed rows vs 2x6 dots at fc2<=52 rows), but on
+    this backend its kernels lower pathologically (7-22 GB/s table
+    stream vs the dense kernels' 193 GB/s) and the end-to-end TCO1279
+    Legendre phase measured 42.3/30.5 ms (inv/dir) against the dense
+    engine's 37.6/24.1 ms.  Set ECTRANS_TPU_LEG_KERNEL=planes to
+    reproduce; see ops/legendre_planes.py for the design."""
     kern = os.environ.get("ECTRANS_TPU_LEG_KERNEL", "auto")
     if kern in ("xla", "pallas", "dense", "planes"):
         return kern
-    from . import legendre_planes
+    from . import legendre_pallas
 
-    return "planes" if legendre_planes.supported() else "xla"
+    return "dense" if legendre_pallas.supported() else "xla"
 
 
 def _interpret() -> bool:

@@ -1,13 +1,24 @@
 """Pallas grouped-GEMM Legendre transforms (HBM-streaming MXU kernels).
 
-The grouped Legendre contraction is bandwidth-bound, not FLOP-bound: at
-TCO1279 the grouped P̄ tables are ~1.6 GB and each transform direction
-streams them exactly once, while the arithmetic intensity is only
+At TCO1279 the grouped P̄ tables are ~1.6 GB and each transform direction
+streams them exactly once; the arithmetic intensity is only
 ``2 * nfld2 / 4 ≈ 16`` FLOP/byte — far below the fp32 MXU ridge.  The XLA
 batched-einsum formulation reaches only ~20% of HBM bandwidth on this
 backend; these kernels stream the tables through VMEM with the Pallas
 pipeline (double-buffered block fetches) and keep the small per-m
-coefficient blocks resident, so the table read runs at full bandwidth.
+coefficient blocks resident.
+
+Measured bound (round 4, v5e/axon): the dense-row kernels stream the
+group-0 table at ~193 GB/s of fp32 bytes (5.45 ms for the 1.05 GB
+group-0 read at bf16x6) — NOT HBM-saturated (~819 GB/s class chip).
+The residual is MXU tile-slot cost: an fp32-accurate contraction is 6
+bf16 passes x 2 hemisphere dots with only 2*nfld <= 52 of 128 MXU rows
+occupied, so each fp32 table byte is streamed through the MXU 12 times
+at <= 40% row occupancy.  A row-packed reformulation that provably cuts
+tile-slots 4x (ops/legendre_planes.py) lowers pathologically on this
+backend (7-22 GB/s) and measures slower end-to-end; the dense kernels
+remain the production engine.  bench.py reports measured bytes-moved/s
+per direction (legendre_gbps) so this bound stays a measured number.
 
 Reference counterpart: the grouped GEMMs of the GPU backend
 (``gpu/internal/leinv_mod.F90:273-317``, ``ledir_mod.F90:126-175``), which

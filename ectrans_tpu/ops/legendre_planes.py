@@ -1,5 +1,13 @@
 """Plane-split Legendre-transform kernels (the "planes" engine).
 
+STATUS (round 4, measured on v5e/axon): OPT-IN EXPERIMENT, not the
+production engine.  The occupancy theory below predicted ~4x over the
+dense-row kernels, but these kernels lower pathologically on this
+backend (7-22 GB/s of table stream vs the dense kernels' 193 GB/s;
+end-to-end TCO1279 Legendre 42.3/30.5 ms inv/dir vs dense 37.6/24.1).
+Enable with ECTRANS_TPU_LEG_KERNEL=planes; the limb-split utility
+(split_planes) is used elsewhere and is production code.
+
 TPU-native re-design of the grouped Legendre GEMMs (reference LEINV/LEDIR,
 ``leinv_mod.F90:99-185``, ``ledir_mod.F90:126-175``; grouped GPU GEMMs
 ``gpu/internal/leinv_mod.F90:273-317``) built around how the bf16 MXU
@@ -32,12 +40,14 @@ operand's limb planes PACKED INTO THE OTHERWISE-IDLE ROWS:
   identity P(n, -mu) = (-1)^(n-m) P(n, mu) via sign rows (inverse) or a
   per-column sign (direct), exactly like the round-3 dense-row kernels.
 
-Layouts: the inverse contracts over coefficient index j with the NATURAL
-(J, lat) planes; the direct contracts over latitude with TRANSPOSED
-(lat, J) planes — each direction streams the layout whose contraction
-axis is in lanes, so neither kernel ever transposes data, and outputs are
-emitted directly in the m-major contract of the dense-row engine
-((gm, nfld2, lat) / (gm, nfld2, J) realigned rows).
+Layout: ONE stored layout — the TRANSPOSED (lat, J) planes — serves both
+directions (storing the natural layout too would double table HBM to
+~10 GiB at TCO1279 and OOM the chip next to the working set).  The direct
+kernel streams it with the contraction axis (latitude) in lanes; the
+inverse contracts over J via the rhs-lane-contraction dot (the _DN_T
+pattern of the round-3 kernels) plus a per-tile in-register transpose of
+the small (TILE_I, fc2) result, emitting the m-major contract of the
+dense-row engine ((gm, nfld2, lat) / (gm, nfld2, J) realigned rows).
 
 Precision tiers: nplanes=3 covers fp32 ("highest"/"high"); nplanes=1 is
 the single-bf16 tier (table stream halves vs fp32 storage — the memory
@@ -103,10 +113,14 @@ def _sgn_lanes(n, dtype):
 
 # ----------------------------------------------------------------------
 # Inverse kernel: realigned coefficient rows -> Fourier per latitude.
-#   act  A (2*P*fc2, J)  bf16: rows [x0; x0*sgn; x1; x1*sgn; ...]
-#   tabs Pk (J, TILE_I)  bf16 plane tiles (natural layout)
+#   act  PTk (TILE_I, J) bf16 plane tiles (TRANSPOSED layout — the only
+#        stored layout; both directions stream it, halving table HBM)
+#   wts  A (2*P*fc2, J)  bf16: rows [x0; x0*sgn; x1; x1*sgn; ...]
 #   out  north, south (fc2, TILE_I)
-# Pass k: dot(A[: 2*(P-k)*fc2], Pk) — row prefix keeps limbs j <= P-1-k.
+# Pass k contracts table plane PTk against the coefficient-row prefix
+# with limb j <= P-1-k (rhs-lane contraction, the proven _DN_T pattern),
+# yielding (TILE_I, rows); lane-group sums + an in-register transpose
+# emit the m-major (fc2, TILE_I) contract directly.
 # ----------------------------------------------------------------------
 
 
@@ -120,33 +134,34 @@ def _inv_kernel(a_ref, *refs, fc2, nplanes):
     for k in range(nplanes):
         rows = 2 * (nplanes - k) * fc2
         o = jax.lax.dot_general(
-            a[:rows], p_refs[k][0],
-            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            p_refs[k][0], a[:rows],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)
         for j in range(nplanes - k):
-            nj = o[2 * j * fc2 : (2 * j + 1) * fc2]
-            sj = o[(2 * j + 1) * fc2 : (2 * j + 2) * fc2]
+            nj = o[:, 2 * j * fc2 : (2 * j + 1) * fc2]
+            sj = o[:, (2 * j + 1) * fc2 : (2 * j + 2) * fc2]
             north = nj if north is None else north + nj
             south = sj if south is None else south + sj
-    n_ref[0] = north.astype(n_ref.dtype)
-    s_ref[0] = south.astype(s_ref.dtype)
+    n_ref[0] = north.T.astype(n_ref.dtype)
+    s_ref[0] = south.T.astype(s_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nplanes", "fc2", "interpret"))
-def group_inv_planes(a, planes, nplanes, fc2, interpret=False):
+def group_inv_planes(a, tplanes, nplanes, fc2, interpret=False):
     """One group's inverse LT: a (gm, 2*nplanes*fc2, J) bf16 packed
-    coefficient rows x planes (tuple of (gm, J, ig) bf16) ->
-    (north, south) each (gm, fc2, ig) f32; south NOT latitude-reversed."""
+    coefficient rows x tplanes (tuple of (gm, ig, J) bf16 transposed
+    limb planes) -> (north, south) each (gm, fc2, ig) f32; south NOT
+    latitude-reversed."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     gm, rows, J = a.shape
-    ig = planes[0].shape[2]
+    ig = tplanes[0].shape[1]
     ti = min(TILE_I, ig)
     grid = (gm, pl.cdiv(ig, ti))
     out = jax.ShapeDtypeStruct((gm, fc2, ig), jnp.float32)
     kern = functools.partial(_inv_kernel, fc2=fc2, nplanes=nplanes)
     in_specs = [pl.BlockSpec((1, rows, J), lambda m, it: (m, 0, 0))]
-    in_specs += [pl.BlockSpec((1, J, ti), lambda m, it: (m, 0, it))
+    in_specs += [pl.BlockSpec((1, ti, J), lambda m, it: (m, it, 0))
                  for _ in range(nplanes)]
     return pl.pallas_call(
         kern,
@@ -160,7 +175,7 @@ def group_inv_planes(a, planes, nplanes, fc2, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(a, *planes)
+    )(a, *tplanes)
 
 
 # ----------------------------------------------------------------------
@@ -277,7 +292,7 @@ def legendre_inv_planes(dense, ppl, nplanes=3, interpret=False):
         gm = g.m1 - g.m0
         dg = d2[:, :, g.m0:g.m1, :g.J].reshape(fc2, gm, g.J).swapaxes(0, 1)
         a = _pack_inv_rows(dg, nplanes)
-        north, south = group_inv_planes(a, g.p[:nplanes], nplanes, fc2,
+        north, south = group_inv_planes(a, g.pt[:nplanes], nplanes, fc2,
                                         interpret=interpret)
         north = north.astype(dense.dtype).swapaxes(0, 1).reshape(
             nfld, 2, gm, -1)

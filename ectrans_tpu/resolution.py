@@ -229,11 +229,10 @@ class Resolution:
         """Per-m-group bf16 limb-plane Legendre tables for the "planes"
         engine (``ops.legendre_planes``): each fp32 table value is split
         into ``nplanes`` bf16 planes (P0+P1+P2 == fp32 to ~2^-25), stored
-        in BOTH contraction layouts — natural (J, lat) for the inverse and
-        transposed (lat, J) for the direct — so neither kernel transposes.
+        in ONE transposed (lat, J) layout shared by both directions.
 
-        nplanes=3 is the fp32-accurate tier (6 bytes/entry/layout);
-        nplanes=1 is the bf16 tier (2 bytes/entry/layout — the memory mode
+        nplanes=3 is the fp32-accurate tier (6 bytes/entry);
+        nplanes=1 is the bf16 tier (2 bytes/entry — the memory mode
         covering the reference's butterfly-compression role,
         ``butterfly_alg_mod.F90``)."""
         import jax
@@ -245,14 +244,14 @@ class Resolution:
         # (TCO1279) transient consumed group-by-group — retaining them in
         # the full_legendre cache alongside the planes OOMs the chip.
         fl = self._build_full_legendre("float32", ngroups)
-        split = jax.jit(lambda pn: lp.split_planes(pn, nplanes),
-                        static_argnums=())
+        split_t = jax.jit(
+            lambda pn: tuple(pk.swapaxes(1, 2)
+                             for pk in lp.split_planes(pn, nplanes)))
         groups = []
         for g in fl.groups:
-            p = tuple(jax.block_until_ready(split(g.pn)))
-            pt = tuple(pk.swapaxes(1, 2) for pk in p)
+            pt = tuple(jax.block_until_ready(split_t(g.pn)))
             groups.append(PlanesGroup(m0=g.m0, m1=g.m1, i0=g.i0, J=g.J,
-                                      p=p, pt=pt))
+                                      pt=pt))
             g.pn.delete()  # free the fp32 group before building the next
         return PlanesLegendre(groups=tuple(groups), ndgnh=fl.ndgnh,
                               kmax=fl.kmax)
@@ -325,14 +324,13 @@ class FullLegendre:
 @dataclasses.dataclass(frozen=True)
 class PlanesGroup:
     """One contiguous m-group of bf16 limb-plane tables ("planes" engine):
-    p[k] (m1-m0, J, ndgnh-i0) natural, pt[k] (m1-m0, ndgnh-i0, J)
-    transposed; sum_k p[k] reproduces the fp32 table to ~2^-25."""
+    pt[k] (m1-m0, ndgnh-i0, J) transposed layout, shared by both transform
+    directions; sum_k pt[k] reproduces the fp32 table to ~2^-25."""
 
     m0: int
     m1: int
     i0: int
     J: int
-    p: tuple
     pt: tuple
 
 
@@ -372,7 +370,7 @@ def _register_pytrees():
     )
     jax.tree_util.register_dataclass(
         PlanesGroup,
-        data_fields=["p", "pt"],
+        data_fields=["pt"],
         meta_fields=["m0", "m1", "i0", "J"],
     )
     jax.tree_util.register_dataclass(

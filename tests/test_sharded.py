@@ -4,6 +4,18 @@ The TPU-native equivalent of the reference's checksum tests
 (tests/compare_checksums.py: results must be identical across MPI x OMP
 decompositions).  Here: every (w, v) mesh shape on 8 virtual CPU devices must
 reproduce the single-device result to float tolerance.
+
+Why allclose and not the reference's CRC64 bitwise identity: the reference
+can demand bitwise equality because each (m, lat) GEMM is computed by
+exactly one rank with one summation order regardless of decomposition
+(suwavedi assigns whole m's; OMP threads split loop iterations, not dot
+products).  Here a resharded mesh changes which XLA program computes each
+contraction, and XLA re-tiles/reassociates fp reductions per program —
+summation order is not decomposition-invariant by construction.  The
+waiver is quantified, not assumed: test_cross_mesh_max_delta measures the
+pairwise max relative delta across all 6 mesh shapes and pins it at
+<= 1e-13 in fp64 (measured round 4: 2.1e-14 — pure reassociation noise,
+~100 ULP; any layout/ownership bug would show up at O(1)).
 """
 
 import jax
@@ -69,6 +81,29 @@ def test_dir_decomposition_invariance(w, v):
     for name, r, g in zip(("vor", "div", "sc"), ref, got):
         err = np.abs(np.asarray(g) - r).max() / np.abs(r).max()
         assert err < 1e-12, f"(w={w},v={v}) {name} mismatch {err}"
+
+
+def test_cross_mesh_max_delta():
+    """Quantifies the bitwise-checksum waiver (reference
+    compare_checksums.py asserts CRC64 identity): the pairwise max
+    relative delta across ALL mesh shapes must stay at fp64
+    reassociation scale (<= 1e-13), far below any layout/ownership bug
+    (which shows up at O(1)).  The measured value is recorded in
+    PARITY.md next to the waiver rationale."""
+    res = et.setup("O48", 47)
+    vor, div, sc = _random_state(res, 2, 3, seed=3)
+    flags = et.InvFlags(scders=True, uvders=True)
+    outs = []
+    for w, v in MESHES:
+        st = ShardedTransform(res, make_mesh(w, v), dtype=jnp.float64)
+        outs.append(np.asarray(st.inv_trans(
+            spvor=jnp.asarray(vor), spdiv=jnp.asarray(div),
+            spscalar=jnp.asarray(sc), flags=flags)))
+    scale = max(np.abs(o).max() for o in outs)
+    worst = max(np.abs(a - b).max() for i, a in enumerate(outs)
+                for b in outs[i + 1:]) / scale
+    print(f"cross-mesh max relative delta: {worst:.3e}")
+    assert worst < 1e-13, worst
 
 
 def test_sharded_roundtrip_fp32():

@@ -59,7 +59,7 @@ def run_case(gm, fc2, J, ig, nplanes=3, seed=0, table="random"):
 
     dg = jnp.asarray(rng.standard_normal((gm, fc2, J)), jnp.float32)
     a = lp._pack_inv_rows(dg, nplanes)
-    n, s = lp.group_inv_planes(a, planes, nplanes, fc2)
+    n, s = lp.group_inv_planes(a, tplanes, nplanes, fc2)
     rn, rs = ref_inv(dg, pn)
     scale = float(jnp.max(jnp.abs(rn)))
     einv = max(float(jnp.max(jnp.abs(n - rn))),

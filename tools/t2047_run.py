@@ -7,7 +7,9 @@ is the fast path, and the T2047 memory wall is handled by (a) sharding —
 tables divide by the w-axis, 13.1 GiB / 8 chips = 1.6 GiB — and (b) the
 bf16 table tier for single-chip runs (6.5 GiB, reference FLT relaxed
 gate 1e6*eps).  This script produces the measured evidence for (b) plus
-the F1024/T2047 linear-grid fp32 run, recorded in BASELINE.md.
+the F1024/T2047 linear-grid fp32 run; when executed on the chip its
+output is recorded under "T2047 evidence" in BASELINE.md (run in round 4
+— earlier rounds shipped the runner without the measurement).
 
 Run (real TPU):  python tools/t2047_run.py [config ...]
 Configs: F1024 (linear grid, fp32 tier "highest", 8.0 GiB tables)

@@ -131,6 +131,52 @@ def t5_rms_normalize_broadcast():
     check("whole-grid RMS normalize broadcast", f(jnp.asarray(x)), want, 1e-4)
 
 
+def t8_limb_split_fold():
+    """XLA excess-precision folding: x - f32(bf16(x)) is simplified away
+    inside larger programs (the bf16 rounding is elided), so cast-based
+    limb splits silently collapse to a single bf16 limb.  The production
+    splitter (legendre_planes.split_planes) uses bitwise mantissa masking,
+    which must stay exact under jit; the cast-based form is checked too so
+    a behaviour CHANGE of the backend is visible either way."""
+    from ectrans_tpu.ops.legendre_planes import split_planes
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((256, 512)).astype(np.float32)
+    t = rng.standard_normal((512, 128)).astype(np.float32)
+
+    @jax.jit
+    def f(x, t):
+        limbs = split_planes(x, 3)
+        acc = None
+        for l in limbs:
+            d = jax.lax.dot_general(
+                l, t.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        return acc
+
+    want = x.astype(np.float64) @ np.asarray(
+        jnp.asarray(t).astype(jnp.bfloat16).astype(jnp.float32),
+        np.float64)
+    check("mask-based limb split under jit", f(jnp.asarray(x), jnp.asarray(t)),
+          want, 1e-6)
+
+
+def quick() -> list:
+    """Cheap jit-only miscompile patterns (no grid setup, no pallas):
+    run by bench.py before every benchmark so each BENCH_r*.json certifies
+    the backend workarounds still hold.  Returns the failure list
+    (lax.map is EXPECTED to fail on axon — the production code never uses
+    it; it is reported, not counted, so the bench gate stays meaningful)."""
+    FAILURES.clear()
+    t1_strided_slice()
+    t2_reversed_slice_matmul()
+    t3_concat_row_slices()
+    t5_rms_normalize_broadcast()
+    t8_limb_split_fold()
+    return list(FAILURES)
+
+
 def t6_pallas_legendre(res):
     from ectrans_tpu.ops import legendre_matmul, legendre_pallas
 
@@ -184,6 +230,7 @@ def main():
     t5_rms_normalize_broadcast()
     t6_pallas_legendre(res)
     t7_roundtrip(res)
+    t8_limb_split_fold()
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         print("NB: failures here mean the backend miscompiles the pattern — "
