@@ -48,11 +48,12 @@ FP32_PASSES = 6      # Precision.HIGHEST fp32 matmul = 6 bf16 MXU passes
 # bf16 MXU passes per fp32 FLOP of the LEGENDRE layer at each public tier
 TIER_PASSES = {"highest": 6, "high": 3, "bf16": 1}
 # Default tier "highest" (full fp32 everywhere): measured at TCO1279 the
-# Legendre layer is HBM-bandwidth-bound, so 6-pass vs 3-pass MXU costs
-# the same wall time (0.162 vs 0.163 s/roundtrip) — full precision is
-# free.  The "high" tier also FAILS the all-field 100*eps gate at
-# TCO1279 (vor/div UVTVD n-amplification: 2e-3 vs gate 6.3e-5), so there
-# is no reason to run it on this hardware.
+# Legendre layer is table-stream-bound (99-154 GB/s of fp32 table reads,
+# dominated by DMA/glue rather than MXU passes — see legendre_pallas.py),
+# so 6-pass vs 3-pass MXU costs the same wall time (0.162 vs 0.163
+# s/roundtrip) — full precision is free.  The "high" tier also FAILS the
+# all-field 100*eps gate at TCO1279 (vor/div UVTVD n-amplification: 2e-3
+# vs gate 6.3e-5), so there is no reason to run it on this hardware.
 PRECISION = os.environ.get("ECTRANS_BENCH_PRECISION", "highest")
 
 

@@ -30,10 +30,15 @@ def test_materialized_tables_match_host(name, nsmax):
         a = np.asarray(gh.pn)
         b = np.asarray(gg.pn)
         assert a.shape == b.shape, (gh.m0, a.shape, b.shape)
-        # relative to the table's global scale (P-bar values are O(1));
-        # fp32 recurrence budget ~2e-6
+        # relative to the table's global scale (P-bar values are O(1)).
+        # Budget pinned post double-single-seed fix (commit 63e08d5):
+        # measured 3.7e-10 at O48, 1.9e-8 at O160 — the device tables
+        # agree with the host fp64 build to ~fp32 emission rounding.
+        # (Round 3's single-fp32 seeds sat at ~2e-6; note the TCO-scale
+        # roundtrip error was NEVER tablegen-driven — host-exact tables
+        # reproduce it, tools/err_attrib.py + BASELINE.md round 4.)
         err = np.abs(a - b).max() / max(1.0, np.abs(a).max())
-        assert err < 5e-6, (gh.m0, err)
+        assert err < 1e-7, (gh.m0, err)
 
 
 def test_materialized_underflow_region_is_zeroish():

@@ -103,6 +103,14 @@ def main():
         except Exception as e:
             print(f"{c}: FAILED {type(e).__name__}: {e}", flush=True)
             ok = False
+        finally:
+            # drop the previous config's multi-GiB device tables before
+            # the next setup — the lru caches otherwise hold them alive
+            # and a two-config sequence OOMs a 16 GB chip (measured:
+            # O2048 RESOURCE_EXHAUSTED after the F1024 run, round 4)
+            from ectrans_tpu.resolution import trans_end
+
+            trans_end()
     sys.exit(0 if ok else 1)
 
 
