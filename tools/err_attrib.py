@@ -35,6 +35,7 @@ def roundtrip_err(res, variant):
     from ectrans_tpu.transform import InvFlags
 
     src, eng = variant
+    tier = os.environ.get("ECTRANS_ERR_TIER", "highest")
     os.environ["ECTRANS_TPU_TABLE_SOURCE"] = src
     os.environ["ECTRANS_TPU_LEG_KERNEL"] = eng
     res.full_legendre.cache_clear()
@@ -52,11 +53,11 @@ def roundtrip_err(res, variant):
     flags = InvFlags(scders=True, uvders=True)
     t0 = time.time()
     grid = et.inv_trans(res, spvor=spvor, spdiv=spdiv, spscalar=spsc,
-                        flags=flags)
+                        flags=flags, precision=tier)
     u = grid[0:NFLD_UV]
     v = grid[NFLD_UV : 2 * NFLD_UV]
     sc = grid[2 * NFLD_UV : 2 * NFLD_UV + NFLD_SC]
-    out = et.dir_trans(res, u=u, v=v, scalars=sc)
+    out = et.dir_trans(res, u=u, v=v, scalars=sc, precision=tier)
     worst = {}
     for name, got, ref in zip(("vor", "div", "sc"), out,
                               (spvor, spdiv, spsc)):
@@ -64,7 +65,7 @@ def roundtrip_err(res, variant):
         if name != "sc":
             d[:, :2] = 0.0
         worst[name] = float(d.max())
-    print(f"{src}/{eng}: {worst}  ({time.time()-t0:.0f}s)", flush=True)
+    print(f"{src}/{eng}/{tier}: {worst}  ({time.time()-t0:.0f}s)", flush=True)
     return worst
 
 
