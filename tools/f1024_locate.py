@@ -1,0 +1,206 @@
+"""Localize the F1024/T2047 on-chip correctness failure (round 4).
+
+CPU passes clean (3.8e-6), so the defect is TPU-path-specific.  Two
+probes, cheapest-first:
+
+1. tablegen spot-check: materialize the F1024 tables on device and fetch
+   a few rows for m in {0, mid, high}, comparing against the host fp64
+   legpol cache (already on disk) — tests the recurrence at chain length
+   ~2050 without running a transform.
+2. roundtrip with ECTRANS_TPU_LEG_KERNEL=xla (device tables + XLA
+   einsums) — if 1 is clean and this passes, the dense Pallas kernels
+   at F1024 shapes are the defect; if this fails too, the Fourier layer
+   at ndlon 4096 joins the suspect list.
+
+Run on the chip:  python tools/f1024_locate.py [probe1|probe2|both]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def probe1(res):
+    import jax
+
+    from ectrans_tpu.ops import legendre_tablegen
+
+    os.environ.pop("ECTRANS_TPU_TABLE_SOURCE", None)
+    gen = legendre_tablegen.materialize_full_legendre(res, "float32",
+                                                      ngroups=16)
+    # host truth from the parity cache (fp64 -> fp32): row n of m is
+    # psym[m, :, (n-m)//2] / pasym for odd n-m
+    psym, pasym = res.parity_tables("float32")
+    worst = 0.0
+    for g in gen.groups:
+        gm = g.m1 - g.m0
+        for mloc in (0, gm // 2, gm - 1):
+            m = g.m0 + mloc
+            for j in (0, 1, g.J // 2, g.J - 2, g.J - 1):
+                row = np.asarray(g.pn[mloc, j, :])            # (ig,) fetch
+                tab = psym if j % 2 == 0 else pasym
+                ref = np.asarray(tab[m, g.i0:, j // 2])
+                d = np.abs(row - ref).max()
+                worst = max(worst, float(d))
+                if d > 1e-5:
+                    print(f"  BAD m={m} j={j}: maxdiff {d:.3e} "
+                          f"(|ref|max {np.abs(ref).max():.3e})", flush=True)
+    print(f"probe1 tablegen spot-check worst |diff|: {worst:.3e}",
+          flush=True)
+    return worst < 1e-5
+
+
+def probe2(res):
+    import jax.numpy as jnp
+
+    import ectrans_tpu as et
+
+    os.environ["ECTRANS_TPU_LEG_KERNEL"] = "xla"
+    res.grouped_legendre.cache_clear()
+    rng = np.random.default_rng(0)
+    sp = rng.standard_normal((2, res.nspec2)).astype(np.float32)
+    sp[:, 1 : 2 * (res.nsmax + 1) : 2] = 0.0
+    sp[:, 0] = 0.0
+    t0 = time.time()
+    g = et.inv_trans(res, spscalar=jnp.asarray(sp))
+    out = et.dir_trans(res, scalars=g)[2]
+    err = float(np.abs(np.asarray(out) - sp).max())
+    print(f"probe2 xla-engine roundtrip err {err:.3e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return err < 1e-4
+
+
+def probe3(res):
+    """Fourier-layer composition: analysis(synthesis(x)) == x for valid
+    coeffs — exact quadrature identity, no layout conventions needed.
+    CPU passes the full roundtrip, so a failure here localizes the
+    on-chip Fourier path (first-ever F-grid ndlon-4096 single-bucket
+    structure on this backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ectrans_tpu.ops import fourier
+
+    bt = fourier.bucketed_tables_for(res, "float32")
+    rng = np.random.default_rng(0)
+    M, ndgl = res.M, res.ndgl
+    x = rng.standard_normal((2, 2, M, ndgl)).astype(np.float32)
+    nmen = np.asarray(res.nmen)[None, None, None, :]          # per-lat cut
+    mm = np.arange(M)[None, None, :, None]
+    x *= (mm <= nmen)
+    x[:, 1, 0] = 0.0                                          # m=0 real
+
+    @jax.jit
+    def comp(x):
+        g = fourier.synthesis_bucketed(x, bt)
+        return fourier.analysis_bucketed(g, bt, M)
+
+    t0 = time.time()
+    y = np.asarray(comp(jnp.asarray(x)))
+    err = np.abs(y - x).max()
+    print(f"probe3 fourier synth+ana composition err {err:.3e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return err < 1e-4
+
+
+def probe4(res):
+    """Legendre-layer composition: dir(inv(x)) == x for spectra with
+    n <= nsmax (Gaussian quadrature exactness) through the production
+    dense kernels at F1024 shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ectrans_tpu.ops import legendre_matmul
+
+    os.environ.pop("ECTRANS_TPU_TABLE_SOURCE", None)
+    fl = res.full_legendre("float32")
+    w = jnp.asarray(res.w[: res.ndgnh], jnp.float32)
+    M, NP = res.M, res.NP
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 2, M, NP)).astype(np.float32)
+    nn = np.arange(NP)[None, :]
+    mm = np.arange(M)[:, None]
+    valid = ((nn >= mm) & (nn <= res.nsmax)).astype(np.float32)
+    x *= valid
+
+    @jax.jit
+    def comp(x, fl, w):
+        # tables as ARGUMENTS, never closures (multi-GB jit constants
+        # are rejected by the remote compile — see transform.py)
+        four = legendre_matmul.inv_dense(x, fl, precision="highest")
+        return legendre_matmul.dir_dense(four, fl, w, NP,
+                                         precision="highest")
+
+    t0 = time.time()
+    y = np.asarray(comp(jnp.asarray(x), fl, w)) * valid
+    err = np.abs(y - x).max()
+    print(f"probe4 legendre inv+dir composition err {err:.3e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return err < 1e-4
+
+
+def probe5(res):
+    """Layout glue: packed -> dense (gather) -> packed (production
+    Pallas compaction kernel incl. realign+transpose front) must be the
+    identity.  First-ever M=2048/NP=2049 shapes for the pack kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from ectrans_tpu.ops import layout, pack_pallas
+
+    tables = res.device_tables(jnp.float32)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, res.nspec2)).astype(np.float32)
+    x[:, 1 : 2 * (res.nsmax + 1) : 2] = 0.0
+
+    @jax.jit
+    def comp(x, tables, plan):
+        dense = layout.packed_to_dense(x, tables)
+        return pack_pallas.dense_to_packed(dense, plan)
+
+    plan = pack_pallas.plan_for(res)
+    t0 = time.time()
+    y = np.asarray(comp(jnp.asarray(x), tables, plan))
+    err = np.abs(y - x).max()
+    print(f"probe5 packed->dense->packed composition err {err:.3e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    # also the XLA gather route for comparison
+    @jax.jit
+    def comp_xla(x, tables):
+        dense = layout.packed_to_dense(x, tables)
+        return layout.dense_to_packed(dense, tables)
+
+    y2 = np.asarray(comp_xla(jnp.asarray(x), tables))
+    err2 = np.abs(y2 - x).max()
+    print(f"probe5b xla-gather route composition err {err2:.3e}",
+          flush=True)
+    return err < 1e-6
+
+
+def main():
+    import ectrans_tpu as et
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    t0 = time.time()
+    res = et.setup("F1024", 2047)
+    print(f"F1024 setup {time.time()-t0:.0f}s", flush=True)
+    if which in ("probe1", "both"):
+        probe1(res)
+    if which in ("probe3", "both"):
+        probe3(res)
+    if which in ("probe4", "both"):
+        probe4(res)
+    if which in ("probe5", "both"):
+        probe5(res)
+    if which == "probe2":
+        probe2(res)
+
+
+if __name__ == "__main__":
+    main()
