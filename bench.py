@@ -286,8 +286,17 @@ def phase_profile(res, dtype="float32"):
     pad_i, log_i = _legendre_flops_per_dir(res, gl, F_lt_inv)
     pad_d, log_d = _legendre_flops_per_dir(res, gl, F_dir)
     t_leg = t_leg_inv + t_leg_dir
+    # pass counts model the dense/parity kernels; the planes engine streams
+    # nplanes bf16 table planes with row-packed limbs instead of full
+    # fp32-split passes, so derive its pass count from nplanes
+    if eng == "planes":
+        from ectrans_tpu.ops import legendre_planes as _lp
+
+        tier_passes = _lp.planes_for_tier(PRECISION)
+    else:
+        tier_passes = TIER_PASSES[PRECISION]
     mxu_frac = (pad_i + pad_d) * FP32_PASSES / (t_leg * PEAK_BF16)
-    mxu_frac_tier = (pad_i + pad_d) * TIER_PASSES[PRECISION] / (t_leg * PEAK_BF16)
+    mxu_frac_tier = (pad_i + pad_d) * tier_passes / (t_leg * PEAK_BF16)
     mfu_logical = (log_i + log_d) / (t_leg * PEAK_BF16)
     # measured table-stream bandwidth: each direction reads the full
     # stored table set exactly once (dense/planes/grouped alike), so
@@ -482,6 +491,14 @@ def main():
 
     detail = {
         "sec_per_roundtrip": round(dt, 4),
+        # which timing the headline derives from (reference prints all four
+        # stats labeled, ectrans-benchmark.F90:920-945): sec_per_roundtrip
+        # (and "value") come from the PIPELINED loop (ITERS in-flight
+        # roundtrips, one final fetch) — the throughput metric; the
+        # fetch-synced per-iteration latency is "roundtrip_ms" min/avg/max
+        "timing_method": "headline value + sec_per_roundtrip = pipelined "
+                         "loop (throughput); roundtrip_ms = fetch-synced "
+                         "per-iteration latency (min/avg/max)",
         # reference ectrans_memory peak-heap analogue (util/ectrans_memory.c)
         "host_peak_rss_mib": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**10),

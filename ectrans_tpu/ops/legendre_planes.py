@@ -52,7 +52,11 @@ dense-row engine ((gm, nfld2, lat) / (gm, nfld2, J) realigned rows).
 Precision tiers: nplanes=3 covers fp32 ("highest"/"high"); nplanes=1 is
 the single-bf16 tier (table stream halves vs fp32 storage — the memory
 mode standing in for the reference's butterfly compression, gated at the
-FLT precedent 1e6*eps, ``tests/CMakeLists.txt:316``).
+FLT precedent 1e6*eps, ``tests/CMakeLists.txt:316``).  NB under this
+engine "high" is an alias of "highest" (both run the full 3-plane
+fp32-accurate contraction): the dense engines' cheaper ~2^-21 bf16x3
+mode has no 2-plane equivalent here because dropping the third plane
+loses the lo*lo cross terms that keep the fp32 mantissa covered.
 """
 
 from __future__ import annotations

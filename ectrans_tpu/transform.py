@@ -181,8 +181,8 @@ def _inv_impl(tables, gl, ct, bt, spvor, spdiv, spscalar, flags,
     dense_all = (jnp.concatenate(lt_inputs, axis=0)
                  if len(lt_inputs) > 1 else lt_inputs[0])
     if leg_engine == "planes":
-        # bf16 limb-plane kernels (the production TPU engine): consume the
-        # realigned dense rows directly, stream the tables nplanes times
+        # bf16 limb-plane kernels (opt-in experiment; dense is production —
+        # see ops/legendre_planes.py and legendre_matmul.engine())
         four_all = legendre_matmul.inv_planes(dense_all, gl,
                                               precision=precision)
     elif leg_engine == "dense":

@@ -183,6 +183,93 @@ def probe5(res):
     return err < 1e-6
 
 
+def probe6(res):
+    """Production-pipeline bisection (round 5: probes 1/3/4/5 ALL pass in
+    isolation while the full roundtrip fails at 3.67 — the defect must be
+    in a stage combination only the full jit programs contain).  Runs the
+    production inv_trans/dir_trans (dense engine) against the SAME stages
+    executed as separate jit programs, comparing at each boundary:
+
+      inv:  packed->dense | inv_dense | synthesis_bucketed
+      dir:  analysis_bucketed | dir_rows+packed_from_group_rows
+            (the production m-major path probe4/probe5 do NOT cover)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import ectrans_tpu as et
+    from ectrans_tpu.ops import (fourier, layout, legendre_matmul,
+                                 pack_pallas)
+
+    os.environ.pop("ECTRANS_TPU_LEG_KERNEL", None)
+    rng = np.random.default_rng(0)
+    sp = rng.standard_normal((4, res.nspec2)).astype(np.float32)
+    sp[:, 1 : 2 * (res.nsmax + 1) : 2] = 0.0
+    sp[:, 0] = 0.0
+    spd = jnp.asarray(sp)
+    tables = res.device_tables(jnp.float32)
+    fl = res.full_legendre("float32")
+    bt = fourier.bucketed_tables_for(res, jnp.float32)
+    w = jnp.asarray(res.w[: res.ndgnh], jnp.float32)
+    scale = float(np.abs(sp).max())
+
+    # --- manual inverse, one jit program per stage ---
+    dense = jax.jit(layout.packed_to_dense)(spd, tables)
+    np.asarray(dense.ravel()[:1])
+    four = jax.jit(functools_partial(legendre_matmul.inv_dense,
+                                     precision="highest"))(dense, fl)
+    np.asarray(four.ravel()[:1])
+    grid_man = jax.jit(functools_partial(fourier.synthesis_bucketed))(four, bt)
+    g_man = np.asarray(grid_man)
+    print("probe6: manual inverse done", flush=True)
+
+    # --- production inverse (one fused program) ---
+    g_prod = np.asarray(et.inv_trans(res, spscalar=spd))
+    d_inv = np.abs(g_prod - g_man).max()
+    print(f"probe6 inv: |production - staged| = {d_inv:.3e} "
+          f"(grid scale {np.abs(g_man).max():.3e})", flush=True)
+
+    # --- manual direct, staged ---
+    four2 = jax.jit(functools_partial(fourier.analysis_bucketed, M=res.M))(
+        grid_man, bt)
+    np.asarray(four2.ravel()[:1])
+
+    pp = pack_pallas.plan_for(res)
+
+    @jax.jit
+    def rows_pack(four2, fl, w, pp):
+        rows = legendre_matmul.dir_rows(four2, fl, w, precision="highest")
+        return pack_pallas.packed_from_group_rows(rows, pp)
+
+    packed_rows = np.asarray(rows_pack(four2, fl, w, pp))
+    err_rows = np.abs(packed_rows - sp).max()
+    print(f"probe6 dir(rows path, staged): roundtrip err {err_rows:.3e} "
+          f"(scale {scale:.3e})", flush=True)
+
+    @jax.jit
+    def dense_pack(four2, fl, w, tables):
+        d = legendre_matmul.dir_dense(four2, fl, w, res.NP,
+                                      precision="highest")
+        return layout.dense_to_packed(d, tables)
+
+    packed_dense = np.asarray(dense_pack(four2, fl, w, tables))
+    err_dense = np.abs(packed_dense - sp).max()
+    print(f"probe6 dir(dense path, staged): roundtrip err {err_dense:.3e}",
+          flush=True)
+
+    # --- production direct (fused analysis|lt programs) ---
+    out_prod = np.asarray(et.dir_trans(res, scalars=jnp.asarray(g_prod))[2])
+    err_prod = np.abs(out_prod - sp).max()
+    print(f"probe6 dir(production): roundtrip err {err_prod:.3e}", flush=True)
+    return d_inv, err_rows, err_dense, err_prod
+
+
+def functools_partial(fn, **kw):
+    import functools
+
+    return functools.partial(fn, **kw)
+
+
 def main():
     import ectrans_tpu as et
 
@@ -200,6 +287,8 @@ def main():
         probe5(res)
     if which == "probe2":
         probe2(res)
+    if which == "probe6":
+        probe6(res)
 
 
 if __name__ == "__main__":

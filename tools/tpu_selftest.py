@@ -165,9 +165,10 @@ def t8_limb_split_fold():
 def quick() -> list:
     """Cheap jit-only miscompile patterns (no grid setup, no pallas):
     run by bench.py before every benchmark so each BENCH_r*.json certifies
-    the backend workarounds still hold.  Returns the failure list
-    (lax.map is EXPECTED to fail on axon — the production code never uses
-    it; it is reported, not counted, so the bench gate stays meaningful)."""
+    the backend workarounds still hold.  Runs t1/t2/t3/t5/t8 only (the
+    lax.map pattern — known-broken on axon, never used by production
+    code — is exercised by the full suite, not by this quick gate).
+    Returns the failure list."""
     FAILURES.clear()
     t1_strided_slice()
     t2_reversed_slice_matmul()
