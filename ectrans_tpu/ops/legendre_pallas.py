@@ -302,6 +302,99 @@ def group_dir_dense(fn, fs, pn, mode="bf16x3", interpret=False):
     )(fn, fs, pn)
 
 
+# ----------------------------------------------------------------------
+# Hemisphere-packed dense-row kernels: the plain dense kernels issue TWO
+# dots per table tile (north fs = d2 @ pn and south fa = (d2*sgn) @ pn for
+# the inverse; a = fn @ pn^T and b = fs @ pn^T for the direct), each with
+# only fc2 = 2*nfld <= ~32 of 128 MXU rows occupied.  Since both dots
+# stream the SAME table tile, stacking the two small operands along the
+# row axis ([d2 ; d2*sgn], 2*fc2 rows) turns them into ONE dot per tile —
+# halving MXU tile-slot cost at identical table HBM traffic.  The stack is
+# built OUTSIDE the kernel by XLA (the small operand, ~MBs) so the kernel
+# body stays a single dot (the planes engine showed in-kernel row packing
+# lowers pathologically on this backend).
+# ----------------------------------------------------------------------
+
+
+def _inv_dense2_kernel(d4_ref, pn_ref, o_ref, *, mode):
+    d4 = d4_ref[0]                # (2*fc2, J): [d2 ; d2*sgn] pre-stacked
+    pn = pn_ref[0]                # (J, TILE_I)
+    o_ref[0] = _dot(d4, pn, _DN_N, mode).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def group_inv_dense2(d4, pn, mode="bf16x3", interpret=False):
+    """Hemisphere-packed inverse: (gm, 2*fc2, J) stacked rows x
+    (gm, J, ig) table -> (gm, 2*fc2, ig) with north in rows [:fc2] and
+    south (NOT latitude-reversed) in rows [fc2:]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gm, fc4, J = d4.shape
+    ig = pn.shape[2]
+    ti = min(TILE_I, ig)
+    grid = (gm, pl.cdiv(ig, ti))
+    out = jax.ShapeDtypeStruct((gm, fc4, ig), d4.dtype)
+    kern = functools.partial(_inv_dense2_kernel, mode=mode)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, fc4, J), lambda m, it: (m, 0, 0)),
+            pl.BlockSpec((1, J, ti), lambda m, it: (m, 0, it)),
+        ],
+        out_specs=pl.BlockSpec((1, fc4, ti), lambda m, it: (m, 0, it)),
+        out_shape=out,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(d4, pn)
+
+
+def _dir_dense2_kernel(f4_ref, pn_ref, o_ref, *, mode):
+    f4 = f4_ref[0]                # (2*fc2, ig): [fn ; fs] pre-stacked
+    pn = pn_ref[0]                # (TILE_J, ig)
+    o_ref[0] = _dot(f4, pn, _DN_T, mode).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def group_dir_dense2(f4, pn, mode="bf16x3", interpret=False):
+    """Hemisphere-packed direct: (gm, 2*fc2, ig) stacked weighted fourier
+    x (gm, J, ig) table -> (gm, 2*fc2, J) raw dots; the caller combines
+    rows a + b*sgn(j) into the realigned spectral rows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gm, fc4, ig = f4.shape
+    J = pn.shape[1]
+    tj = min(TILE_K, J)
+    grid = (gm, pl.cdiv(J, tj))
+    out = jax.ShapeDtypeStruct((gm, fc4, J), f4.dtype)
+    kern = functools.partial(_dir_dense2_kernel, mode=mode)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, fc4, ig), lambda m, it: (m, 0, 0)),
+            pl.BlockSpec((1, tj, ig), lambda m, it: (m, it, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, fc4, tj), lambda m, it: (m, 0, it)),
+        out_shape=out,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f4, pn)
+
+
+def _pack2() -> bool:
+    """Hemisphere-packed kernels on/off (ECTRANS_TPU_LEG_DENSE_PACK);
+    default OFF until the round-5 on-chip A/B (tools/roofline.py) decides
+    — flip the default with the measurement recorded here."""
+    import os
+
+    return os.environ.get("ECTRANS_TPU_LEG_DENSE_PACK", "0") != "0"
+
+
 def _diag_realign(dense):
     """(nfld, 2, M, NP) -> (nfld, 2, M, NP+1) with d2[..., m, j] =
     dense[..., m, m+j]: a pure pad+reshape (index algebra m*(W+1) + j =
@@ -322,18 +415,31 @@ def _diag_unalign(d2, NP):
     return flat[..., : M * NP].reshape(f, c, M, NP)
 
 
+def _jsgn(J, dtype):
+    """(1, 1, J) parity sign (+1 even j, -1 odd j)."""
+    par = jax.lax.broadcasted_iota(jnp.int32, (1, 1, J), 2) & 1
+    return (1 - 2 * par).astype(dtype)
+
+
 def legendre_inv_dense(dense, fl, mode="bf16x3", interpret=False):
     """Dense-row inverse LT: (nfld, 2, M, NP) dense spectral ->
     (nfld, 2, M, ndgl) fourier north->south (fl: resolution.FullLegendre)."""
     nfld = dense.shape[0]
     d2 = _diag_realign(dense)
+    pack2 = _pack2()
     parts = []
     for g in fl.groups:
         fc2 = 2 * nfld
         gm = g.m1 - g.m0
         dg = d2[:, :, g.m0:g.m1, :g.J].reshape(fc2, gm, g.J).swapaxes(0, 1)
-        north, south = group_inv_dense(dg, g.pn, mode=mode,
-                                       interpret=interpret)
+        if pack2:
+            d4 = jnp.concatenate([dg, dg * _jsgn(g.J, dg.dtype)], axis=1)
+            d4 = jax.lax.optimization_barrier(d4)
+            o = group_inv_dense2(d4, g.pn, mode=mode, interpret=interpret)
+            north, south = o[:, :fc2], o[:, fc2:]
+        else:
+            north, south = group_inv_dense(dg, g.pn, mode=mode,
+                                           interpret=interpret)
         north = north.swapaxes(0, 1).reshape(nfld, 2, gm, -1)
         south = south.swapaxes(0, 1).reshape(nfld, 2, gm, -1)[..., ::-1]
         pad = [(0, 0)] * 3
@@ -357,14 +463,20 @@ def legendre_dir_rows(fourier, fl, w, mode="bf16x3", interpret=False):
     fn_all = north_all * w
     fs_all = south_all * w
     fn_all, fs_all = jax.lax.optimization_barrier((fn_all, fs_all))
+    pack2 = _pack2()
     rows = []
     for g in fl.groups:
         fc2 = 2 * nfld
         gm = g.m1 - g.m0
         fn = fn_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
         fs = fs_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
-        rows.append(group_dir_dense(fn, fs, g.pn, mode=mode,
-                                    interpret=interpret))
+        if pack2:
+            f4 = jnp.concatenate([fn, fs], axis=1)
+            raw = group_dir_dense2(f4, g.pn, mode=mode, interpret=interpret)
+            rows.append(raw[:, :fc2] + raw[:, fc2:] * _jsgn(g.J, raw.dtype))
+        else:
+            rows.append(group_dir_dense(fn, fs, g.pn, mode=mode,
+                                        interpret=interpret))
     return rows
 
 
@@ -378,6 +490,7 @@ def legendre_dir_dense(fourier, fl, w, NP, mode="bf16x3", interpret=False):
     fn_all = north_all * w
     fs_all = south_all * w
     fn_all, fs_all = jax.lax.optimization_barrier((fn_all, fs_all))
+    pack2 = _pack2()
     W1 = NP + 1
     parts = []
     for g in fl.groups:
@@ -385,7 +498,12 @@ def legendre_dir_dense(fourier, fl, w, NP, mode="bf16x3", interpret=False):
         gm = g.m1 - g.m0
         fn = fn_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
         fs = fs_all[:, :, g.m0:g.m1, g.i0:].reshape(fc2, gm, -1).swapaxes(0, 1)
-        d2g = group_dir_dense(fn, fs, g.pn, mode=mode, interpret=interpret)
+        if pack2:
+            f4 = jnp.concatenate([fn, fs], axis=1)
+            raw = group_dir_dense2(f4, g.pn, mode=mode, interpret=interpret)
+            d2g = raw[:, :fc2] + raw[:, fc2:] * _jsgn(g.J, raw.dtype)
+        else:
+            d2g = group_dir_dense(fn, fs, g.pn, mode=mode, interpret=interpret)
         d2g = d2g.swapaxes(0, 1).reshape(nfld, 2, gm, g.J)
         parts.append(jnp.pad(d2g, [(0, 0)] * 3 + [(0, W1 - g.J)]))
     d2 = jnp.concatenate(parts, axis=2)

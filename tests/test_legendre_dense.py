@@ -102,3 +102,47 @@ def test_full_transform_dense_engine(res):
             os.environ.pop("ECTRANS_TPU_LEG_KERNEL", None)
         else:
             os.environ["ECTRANS_TPU_LEG_KERNEL"] = old
+
+
+@pytest.mark.parametrize("direction", ["inv", "dir"])
+def test_hemisphere_packed_equivalence(res, direction):
+    """The hemisphere-packed kernels (one dot per table tile,
+    ECTRANS_TPU_LEG_DENSE_PACK=1) match the two-dot dense kernels."""
+    fl = res.full_legendre("float32")
+    tables = res.device_tables(jnp.float32)
+    rng = np.random.default_rng(7)
+    nfld = 3
+    old = os.environ.get("ECTRANS_TPU_LEG_DENSE_PACK")
+    try:
+        if direction == "inv":
+            dense = jnp.asarray(
+                rng.standard_normal((nfld, 2, res.M, res.NP)), jnp.float32)
+            dense = dense * tables.dense_valid
+            os.environ["ECTRANS_TPU_LEG_DENSE_PACK"] = "0"
+            ref = np.asarray(legendre_pallas.legendre_inv_dense(
+                dense, fl, mode="f32", interpret=True))
+            os.environ["ECTRANS_TPU_LEG_DENSE_PACK"] = "1"
+            got = np.asarray(legendre_pallas.legendre_inv_dense(
+                dense, fl, mode="f32", interpret=True))
+        else:
+            four = jnp.asarray(
+                rng.standard_normal((nfld, 2, res.M, res.ndgl)), jnp.float32)
+            w = tables.w[: res.ndgnh]
+            os.environ["ECTRANS_TPU_LEG_DENSE_PACK"] = "0"
+            ref = np.asarray(legendre_pallas.legendre_dir_dense(
+                four, fl, w, res.NP, mode="f32", interpret=True))
+            rows_ref = [np.asarray(r) for r in legendre_pallas.legendre_dir_rows(
+                four, fl, w, mode="f32", interpret=True)]
+            os.environ["ECTRANS_TPU_LEG_DENSE_PACK"] = "1"
+            got = np.asarray(legendre_pallas.legendre_dir_dense(
+                four, fl, w, res.NP, mode="f32", interpret=True))
+            rows_got = [np.asarray(r) for r in legendre_pallas.legendre_dir_rows(
+                four, fl, w, mode="f32", interpret=True)]
+            for a, b in zip(rows_ref, rows_got):
+                assert np.abs(a - b).max() < 1e-5 * max(np.abs(a).max(), 1.0)
+        assert np.abs(got - ref).max() < 1e-5 * max(np.abs(ref).max(), 1.0)
+    finally:
+        if old is None:
+            os.environ.pop("ECTRANS_TPU_LEG_DENSE_PACK", None)
+        else:
+            os.environ["ECTRANS_TPU_LEG_DENSE_PACK"] = old

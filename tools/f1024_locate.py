@@ -270,6 +270,153 @@ def functools_partial(fn, **kw):
     return functools.partial(fn, **kw)
 
 
+def probe7(res):
+    """Host-truth verification of EVERY staged device tensor (round 5:
+    probe6 showed all three direct variants fail identically at 3.672
+    while each kernel passes in isolation — so check each staged device
+    stage against absolute host math, each from the previous DEVICE
+    output so errors cannot cascade).  F-grid only (uniform nloen) — the
+    host DFTs are plain rffts."""
+    import jax
+    import jax.numpy as jnp
+
+    import ectrans_tpu as et
+    from ectrans_tpu.ops import fourier, layout, legendre_matmul
+
+    os.environ.pop("ECTRANS_TPU_LEG_KERNEL", None)
+    rng = np.random.default_rng(0)
+    nfld = 4
+    sp = rng.standard_normal((nfld, res.nspec2)).astype(np.float32)
+    sp[:, 1 : 2 * (res.nsmax + 1) : 2] = 0.0
+    sp[:, 0] = 0.0
+    spd = jnp.asarray(sp)
+    tables = res.device_tables(jnp.float32)
+    fl = res.full_legendre("float32")
+    bt = fourier.bucketed_tables_for(res, jnp.float32)
+    w = jnp.asarray(res.w[: res.ndgnh], jnp.float32)
+    M, NP, ndgl, ndgnh = res.M, res.NP, res.ndgl, res.ndgnh
+    L = res.grid.ndlon
+    psym, pasym = res.parity_tables("float32")  # (M, ndgnh, kmax)
+    K = psym.shape[2]
+    wh = np.asarray(res.w[:ndgnh], np.float64)
+
+    def host_p2d(spv):
+        dense = np.zeros((nfld, 2, M, NP), np.float64)
+        nasm0 = np.asarray(res.nasm0)
+        for m in range(M):
+            Lm = res.nsmax + 1 - m
+            blk = spv[:, nasm0[m] : nasm0[m] + 2 * Lm].reshape(nfld, Lm, 2)
+            dense[:, 0, m, m : m + Lm] = blk[..., 0]
+            dense[:, 1, m, m : m + Lm] = blk[..., 1]
+        return dense
+
+    def rel(name, got, ref):
+        scale = max(np.abs(ref).max(), 1e-30)
+        d = np.abs(np.asarray(got, np.float64) - ref).max()
+        print(f"probe7 {name}: absdiff {d:.3e} relative {d/scale:.3e}",
+              flush=True)
+
+    # stage 1: packed -> dense
+    dense_d = jax.jit(layout.packed_to_dense)(spd, tables)
+    dense_h = np.asarray(dense_d, np.float64)
+    rel("packed_to_dense", dense_h, host_p2d(sp.astype(np.float64)))
+
+    # stage 2: inverse LT (dense engine) vs host parity einsum (chunked)
+    four_d = jax.jit(functools_partial(legendre_matmul.inv_dense,
+                                       precision="highest"))(dense_d, fl)
+    four_h = np.asarray(four_d, np.float64)
+
+    def host_lt_inv(dense):
+        out = np.zeros((nfld, 2, M, ndgl), np.float64)
+        for m0 in range(0, M, 256):
+            m1 = min(M, m0 + 256)
+            # parity split of the dense rows
+            ks = np.arange(K)
+            sym = np.zeros((nfld, 2, m1 - m0, K))
+            asym = np.zeros((nfld, 2, m1 - m0, K))
+            for mi, m in enumerate(range(m0, m1)):
+                ns = m + 2 * ks
+                oks = ks[ns <= res.nsmax + 1]
+                sym[:, :, mi, oks] = dense[:, :, m, m + 2 * oks]
+                na = m + 2 * ks + 1
+                oka = ks[na <= res.nsmax + 1]
+                asym[:, :, mi, oka] = dense[:, :, m, m + 2 * oka + 1]
+            ps = np.asarray(psym[m0:m1], np.float64)
+            pa = np.asarray(pasym[m0:m1], np.float64)
+            fs = np.einsum("mik,fcmk->fcmi", ps, sym, optimize=True)
+            fa = np.einsum("mik,fcmk->fcmi", pa, asym, optimize=True)
+            out[:, :, m0:m1, :ndgnh] = fs + fa
+            out[:, :, m0:m1, ndgnh:] = (fs - fa)[..., ::-1]
+        return out
+
+    rel("inv_dense LT", four_h, host_lt_inv(dense_h))
+
+    # stage 3: synthesis vs host irfft (truth from the DEVICE four)
+    grid_d = jax.jit(fourier.synthesis_bucketed)(four_d, bt)
+    grid_h = np.asarray(grid_d, np.float64)
+    H = four_h[:, 0] + 1j * four_h[:, 1]          # (nfld, M, ndgl)
+    H = H.transpose(0, 2, 1)                      # (nfld, ndgl, M)
+    g_ref = np.fft.irfft(H, n=L, axis=-1) * L
+    rel("synthesis", grid_h, g_ref)
+
+    # stage 4: analysis vs host rfft (truth from the DEVICE grid)
+    four2_d = jax.jit(functools_partial(fourier.analysis_bucketed, M=M))(
+        grid_d, bt)
+    four2_h = np.asarray(four2_d, np.float64)
+    Z = np.fft.rfft(grid_h, axis=-1)[..., :M] / L  # (nfld, ndgl, M)
+    Z = Z.transpose(0, 2, 1)
+    f2_ref = np.stack([Z.real, Z.imag], axis=1)
+    rel("analysis", four2_h, f2_ref)
+
+    # stage 5: direct LT vs host quadrature (truth from DEVICE four2)
+    dir_d = jax.jit(functools_partial(legendre_matmul.dir_dense, NP=NP,
+                                      precision="highest"))(four2_d, fl, w)
+    dir_h = np.asarray(dir_d, np.float64)
+
+    def host_lt_dir(four):
+        north = four[..., :ndgnh]
+        south = four[..., : ndgnh - 1 : -1]
+        fsym = (north + south) * wh
+        fasym = (north - south) * wh
+        out = np.zeros((nfld, 2, M, NP), np.float64)
+        for m0 in range(0, M, 256):
+            m1 = min(M, m0 + 256)
+            ps = np.asarray(psym[m0:m1], np.float64)
+            pa = np.asarray(pasym[m0:m1], np.float64)
+            sym = np.einsum("mik,fcmi->fcmk", ps, fsym[:, :, m0:m1],
+                            optimize=True)
+            asym = np.einsum("mik,fcmi->fcmk", pa, fasym[:, :, m0:m1],
+                             optimize=True)
+            for mi, m in enumerate(range(m0, m1)):
+                ks = np.arange(K)
+                ns = m + 2 * ks
+                ok = ks[ns <= res.nsmax + 1]
+                out[:, :, m, m + 2 * ok] = sym[:, :, mi, ok]
+                na = m + 2 * ks + 1
+                ok = ks[na <= res.nsmax + 1]
+                out[:, :, m, m + 2 * ok + 1] = asym[:, :, mi, ok]
+        return out
+
+    dir_ref = host_lt_dir(four2_h)
+    valid = np.zeros((M, NP))
+    nn = np.arange(NP)[None, :]
+    mm = np.arange(M)[:, None]
+    valid[(nn >= mm) & (nn <= res.nsmax)] = 1.0
+    rel("dir_dense LT (valid region)", dir_h * valid, dir_ref * valid)
+
+    # end-to-end sanity: host dir_ref packed back vs sp
+    sp_ref = np.zeros((nfld, res.nspec2))
+    nasm0 = np.asarray(res.nasm0)
+    for m in range(M):
+        Lm = res.nsmax + 1 - m
+        blk = np.stack([dir_ref[:, 0, m, m : m + Lm],
+                        dir_ref[:, 1, m, m : m + Lm]], axis=-1)
+        sp_ref[:, nasm0[m] : nasm0[m] + 2 * Lm] = blk.reshape(nfld, 2 * Lm)
+    d = np.abs(sp_ref - sp)
+    print(f"probe7 host-LT(dev four2) roundtrip err {d.max():.3e}",
+          flush=True)
+
+
 def main():
     import ectrans_tpu as et
 
@@ -289,6 +436,8 @@ def main():
         probe2(res)
     if which == "probe6":
         probe6(res)
+    if which == "probe7":
+        probe7(res)
 
 
 if __name__ == "__main__":
