@@ -266,64 +266,80 @@ def _dir_ana_impl(tables, bt, u, v, scalars, normalize=True,
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc", "precision",
-                                             "leg_engine"))
-def _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv, has_sc,
-                 precision="highest", leg_engine="xla"):
-    NP = tables.dense_gather.shape[2]
+# NB: with the Pallas engines the direct LT kernels and the UVTVD/packing
+# stage run as SEPARATE jitted programs: fusing the dense-row direct LT
+# with the downstream packing miscompiles on the axon TPU backend at
+# F1024/T2047 shapes (round 5, evidence/r5_probe6/7.log: the fused
+# [dir LT + pack] program returns err 3.672 with BOTH the XLA-gather and
+# the Pallas-compaction packers, while every stage in isolation matches
+# host fp64 math to ~2e-7 relative; optimization_barrier does not prevent
+# this class — only a dispatch boundary does, same as the analysis|LT
+# split above).  The boundary costs one dispatch + one HBM materialisation
+# of the small rows tensor.
+
+
+@functools.partial(jax.jit, static_argnames=("nfld_uv", "precision",
+                                             "leg_engine", "mmajor"))
+def _dir_lt_kernels(tables, gl, four, nfld_uv, precision="highest",
+                    leg_engine="dense", mmajor=False):
+    """Direct-LT program: LDFOU2 scaling + the Legendre kernels only."""
     ndgnh = gl.ndgnh
     if nfld_uv:
         # LDFOU2: scale u, v Fourier coefficients by 1/(a cos(theta))
         racthe = tables.racthe[None, None, None, :]
         uvpart = four[: 2 * nfld_uv] * racthe
         four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
-    if leg_engine in ("dense", "planes") and pp is not None:
-        from .ops import pack_pallas
-
-        if pack_pallas.groups_match(pp, gl):
-            # fully m-major pipeline: kernel-native rows -> m-major UVTVD
-            # -> compaction, never materialising the (nfld, 2, M, NP)
-            # dense tensor (saves its swapaxes/unalign assembly AND the
-            # realign+transpose in front of the compaction kernel)
-            nfld_in = four.shape[0]
-            nsc = nfld_in - 2 * nfld_uv
-            if leg_engine == "planes":
-                rows_list = legendre_matmul.dir_rows_planes(
-                    four, gl, tables.w[:ndgnh], precision=precision)
-            else:
-                rows_list = legendre_matmul.dir_rows(
-                    four, gl, tables.w[:ndgnh], precision=precision)
-            out_rows = []
-            for rows, g in zip(rows_list, gl.groups):
-                if nfld_uv:
-                    vd = spectral.uv_to_vordiv_rows(
-                        rows, g.m0, nfld_uv, nfld_in, ct["uvtvd_mm"])
-                    parts = [vd[:, : 2 * nfld_uv]]
-                    if nsc:
-                        parts.append(rows[:, 2 * nfld_uv : nfld_in])
-                    parts.append(vd[:, 2 * nfld_uv :])
-                    if nsc:
-                        parts.append(rows[:, nfld_in + 2 * nfld_uv :])
-                    rows = jnp.concatenate(parts, axis=1)
-                out_rows.append(rows)
-            packed = pack_pallas.packed_from_group_rows(out_rows, pp)
-            spvor = spdiv = spsc = None
-            if nfld_uv:
-                spvor = packed[:nfld_uv]
-                spdiv = packed[nfld_uv : 2 * nfld_uv]
-            if has_sc:
-                spsc = packed[2 * nfld_uv :]
-            return spvor, spdiv, spsc
+    if mmajor:
+        if leg_engine == "planes":
+            rows = legendre_matmul.dir_rows_planes(
+                four, gl, tables.w[:ndgnh], precision=precision)
+        else:
+            rows = legendre_matmul.dir_rows(
+                four, gl, tables.w[:ndgnh], precision=precision)
+        return tuple(rows)
+    NP = tables.dense_gather.shape[2]
     if leg_engine == "planes":
-        dense = legendre_matmul.dir_planes(four, gl, tables.w[:ndgnh], NP,
-                                           precision=precision)
-    elif leg_engine == "dense":
-        dense = legendre_matmul.dir_dense(four, gl, tables.w[:ndgnh], NP,
+        return legendre_matmul.dir_planes(four, gl, tables.w[:ndgnh], NP,
                                           precision=precision)
-    else:
-        sym, asym = legendre_matmul.dir_grouped(four, gl, tables.w[:ndgnh],
-                                                precision=precision)
-        dense = layout.parity_to_dense(sym, asym, tables, NP)
+    return legendre_matmul.dir_dense(four, gl, tables.w[:ndgnh], NP,
+                                     precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc", "nfld_in"))
+def _dir_pack_rows(ct, pp, rows_list, nfld_uv, has_sc, nfld_in):
+    """Packing program (m-major path): per-group UVTVD on kernel-native
+    rows + compaction, never materialising the (nfld, 2, M, NP) dense
+    tensor."""
+    from .ops import pack_pallas
+
+    nsc = nfld_in - 2 * nfld_uv
+    out_rows = []
+    for rows, gp in zip(rows_list, pp.groups):
+        if nfld_uv:
+            vd = spectral.uv_to_vordiv_rows(
+                rows, gp.m0, nfld_uv, nfld_in, ct["uvtvd_mm"])
+            parts = [vd[:, : 2 * nfld_uv]]
+            if nsc:
+                parts.append(rows[:, 2 * nfld_uv : nfld_in])
+            parts.append(vd[:, 2 * nfld_uv :])
+            if nsc:
+                parts.append(rows[:, nfld_in + 2 * nfld_uv :])
+            rows = jnp.concatenate(parts, axis=1)
+        out_rows.append(rows)
+    packed = pack_pallas.packed_from_group_rows(out_rows, pp)
+    spvor = spdiv = spsc = None
+    if nfld_uv:
+        spvor = packed[:nfld_uv]
+        spdiv = packed[nfld_uv : 2 * nfld_uv]
+    if has_sc:
+        spsc = packed[2 * nfld_uv :]
+    return spvor, spdiv, spsc
+
+
+@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc"))
+def _dir_pack_dense(tables, ct, pp, dense, nfld_uv, has_sc):
+    """Packing program (dense-tensor path): UVTVD + compaction kernel or
+    XLA gather."""
     spvor = spdiv = spsc = None
     if nfld_uv:
         du = dense[:nfld_uv]
@@ -351,6 +367,38 @@ def _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv, has_sc,
     if has_sc:
         spsc = layout.dense_to_packed(dense[2 * nfld_uv :], tables)
     return spvor, spdiv, spsc
+
+
+@functools.partial(jax.jit, static_argnames=("nfld_uv", "has_sc", "precision"))
+def _dir_lt_xla(tables, gl, ct, pp, four, nfld_uv, has_sc,
+                precision="highest"):
+    """Single-program direct LT for the XLA einsum engine (measured clean
+    at every truncation incl. F1024 — evidence/r5_probe2.log)."""
+    NP = tables.dense_gather.shape[2]
+    ndgnh = gl.ndgnh
+    if nfld_uv:
+        racthe = tables.racthe[None, None, None, :]
+        uvpart = four[: 2 * nfld_uv] * racthe
+        four = jnp.concatenate([uvpart, four[2 * nfld_uv :]], axis=0)
+    sym, asym = legendre_matmul.dir_grouped(four, gl, tables.w[:ndgnh],
+                                            precision=precision)
+    dense = layout.parity_to_dense(sym, asym, tables, NP)
+    return _dir_pack_dense(tables, ct, pp, dense, nfld_uv, has_sc)
+
+
+def _dir_lt_impl(tables, gl, ct, pp, four, nfld_uv, has_sc,
+                 precision="highest", leg_engine="xla"):
+    if leg_engine in ("dense", "planes"):
+        from .ops import pack_pallas
+
+        mmajor = pp is not None and pack_pallas.groups_match(pp, gl)
+        out = _dir_lt_kernels(tables, gl, four, nfld_uv, precision,
+                              leg_engine, mmajor)
+        if mmajor:
+            return _dir_pack_rows(ct, pp, out, nfld_uv, has_sc,
+                                  four.shape[0])
+        return _dir_pack_dense(tables, ct, pp, out, nfld_uv, has_sc)
+    return _dir_lt_xla(tables, gl, ct, pp, four, nfld_uv, has_sc, precision)
 
 
 def _dir_impl(tables, gl, ct, bt, pp, u, v, scalars, normalize=True,
