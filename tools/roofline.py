@@ -150,16 +150,45 @@ def main():
             "ms": round(t * 1e3, 2), "table_gbps": round(tab_gb / t, 1),
             "mxu_passes": 2 * passes})
 
+    # hemisphere-packed kernels (round-5, ECTRANS_TPU_LEG_DENSE_PACK):
+    # one dot per table tile at 2x the rows — if the kernels are
+    # MXU-pass-bound this halves the LT time; numerics checked vs the
+    # two-dot kernels in the same run
+    d4 = jnp.concatenate([dg, dg * lpal._jsgn(J, dg.dtype)], axis=1)
+    ref_n, ref_s = lpal.group_inv_dense(dg, pn, mode="bf16x6")
+    o2 = lpal.group_inv_dense2(d4, pn, mode="bf16x6")
+    dmax = float(jnp.max(jnp.abs(o2[:, :fc2] - ref_n)).ravel()[0])
+    dmax = max(dmax, float(jnp.max(jnp.abs(o2[:, fc2:] - ref_s)).ravel()[0]))
+    scale = float(jnp.max(jnp.abs(ref_n)).ravel()[0])
+    _emit("dense_inv2_vs_inv_maxdiff_rel", round(dmax / scale, 9))
+    for mode, passes in (("bf16x3", 3), ("bf16x6", 6)):
+        t = chain_time(
+            functools.partial(lpal.group_inv_dense2, pn=pn, mode=mode), d4)
+        _emit(f"dense_inv2_{mode}", {
+            "ms": round(t * 1e3, 2), "table_gbps": round(tab_gb / t, 1),
+            "mxu_passes": passes})
+
+    fn_ = jnp.asarray(rng.standard_normal((gm, fc2, ig)), jnp.float32)
+    f4 = jnp.concatenate([fn_, fn_ * 0.5], axis=1)
+    t = chain_time(
+        functools.partial(lpal.group_dir_dense, fs=fn_ * 0.5, pn=pn,
+                          mode="bf16x6"),
+        fn_)
+    _emit("dense_dir_bf16x6_ms", round(t * 1e3, 2))
+    t = chain_time(
+        functools.partial(lpal.group_dir_dense2, pn=pn, mode="bf16x6"), f4)
+    _emit("dense_dir2_bf16x6_ms", round(t * 1e3, 2))
+
     # tile-size scan at bf16x6
     for ti in (256, 512, 1280):
         old = lpal.TILE_I
         lpal.TILE_I = ti
         try:
-            fn = functools.partial(lpal.group_inv_dense, pn=pn, mode="bf16x6")
+            fn2 = functools.partial(lpal.group_inv_dense, pn=pn, mode="bf16x6")
             # new jit cache entry per tile (static arg changes via module
             # constant => must clear the wrapped jit cache)
             lpal.group_inv_dense.clear_cache()
-            t = chain_time(fn, dg)
+            t = chain_time(fn2, dg)
             _emit(f"dense_inv_tile{ti}_bf16x6_ms", round(t * 1e3, 2))
         finally:
             lpal.TILE_I = old
