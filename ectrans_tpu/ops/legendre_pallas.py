@@ -8,17 +8,26 @@ backend; these kernels stream the tables through VMEM with the Pallas
 pipeline (double-buffered block fetches) and keep the small per-m
 coefficient blocks resident.
 
-Measured bound (round 4, v5e/axon): the dense-row kernels stream the
-group-0 table at ~193 GB/s of fp32 bytes (5.45 ms for the 1.05 GB
-group-0 read at bf16x6) — NOT HBM-saturated (~819 GB/s class chip).
-The residual is MXU tile-slot cost: an fp32-accurate contraction is 6
-bf16 passes x 2 hemisphere dots with only 2*nfld <= 52 of 128 MXU rows
-occupied, so each fp32 table byte is streamed through the MXU 12 times
-at <= 40% row occupancy.  A row-packed reformulation that provably cuts
-tile-slots 4x (ops/legendre_planes.py) lowers pathologically on this
-backend (7-22 GB/s) and measures slower end-to-end; the dense kernels
-remain the production engine.  bench.py reports measured bytes-moved/s
-per direction (legendre_gbps) so this bound stays a measured number.
+Measured bound — SETTLED round 5 (v5e/axon, evidence/roofline.json):
+the layer is PLATFORM-DMA-BOUND, not MXU-pass-bound.  Three
+measurements close the round-4 question:
+(a) kernel time is FLAT in MXU pass count — group-0 inverse at bf16x3
+    (6 passes) 6.7 ms vs bf16x6 (12 passes) 5.56 ms (189 GB/s);
+(b) a trivial Pallas copy kernel moves 165 GB/s (r+w) and a pure
+    read-reduce kernel 95 GB/s — hand-written kernels on this backend
+    cap near ~200 GB/s of HBM stream, far under the ~819 GB/s nominal,
+    so the dense kernels at 189 GB/s already sit AT the achievable
+    ceiling;
+(c) a hemisphere-packed one-dot-per-tile variant (group_inv_dense2,
+    2x MXU row occupancy, ECTRANS_TPU_LEG_DENSE_PACK=1) measures the
+    same 5.72 ms — confirming passes are not the cost (kept opt-in,
+    default off; its bf16x3 lowering is pathological, 199 ms).
+Tile-size scan 256/512/1280: flat (5.0-5.3 ms).  Conclusion: at the
+"highest" tier the Legendre wall is the platform's kernel-DMA bound;
+further gains require fewer table bytes (bf16 tier) or w-sharding —
+not kernel work.  The round-4 planes engine (7-22 GB/s) remains
+demoted.  bench.py reports measured bytes-moved/s per direction
+(legendre_gbps) so this bound stays a measured number.
 
 Reference counterpart: the grouped GEMMs of the GPU backend
 (``gpu/internal/leinv_mod.F90:273-317``, ``ledir_mod.F90:126-175``), which

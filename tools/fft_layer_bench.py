@@ -79,11 +79,15 @@ def main():
     emit("buckets", [[b.i0, b.i1, b.mb, b.bt.nfft] for b in bt.buckets])
     rng = np.random.default_rng(0)
 
-    four = jnp.asarray(
-        rng.standard_normal((NFLD_SYN, 2, res.M, res.ndgl)), jnp.float32)
-    grid = jnp.asarray(
-        rng.standard_normal((NFLD_ANA, res.ndgl, res.grid.ndlon)),
-        jnp.float32)
+    # device-generated pseudo-data: multi-hundred-MB host uploads crawl
+    # through the axon tunnel (evidence: r5 roofline session)
+    def devgen(*shape):
+        n = int(np.prod(shape))
+        return jax.jit(lambda: jnp.sin(
+            jax.lax.iota(jnp.float32, n) * 0.7).reshape(shape))()
+
+    four = devgen(NFLD_SYN, 2, res.M, res.ndgl)
+    grid = devgen(NFLD_ANA, res.ndgl, res.grid.ndlon)
 
     for prec in ("highest", "bf16"):
         t = chain_time(jax.jit(functools.partial(
@@ -98,10 +102,8 @@ def main():
     bk = max(bt.buckets, key=lambda b: b.bt.nfft)
     nlat = 2 * (bk.i1 - bk.i0)
     P2 = (NFLD_SYN + 1) // 2
-    ar = jnp.asarray(rng.standard_normal((P2, nlat, 2 * bk.mb + 1)),
-                     jnp.float32)
-    ai = jnp.asarray(rng.standard_normal((P2, nlat, 2 * bk.mb + 1)),
-                     jnp.float32)
+    ar = devgen(P2, nlat, 2 * bk.mb + 1)
+    ai = devgen(P2, nlat, 2 * bk.mb + 1)
     bhr, bhi = bk.bt.syn_bh_r[None], bk.bt.syn_bh_i[None]
     panel_gb = P2 * nlat * bk.bt.nfft * 8 / 1e9
 

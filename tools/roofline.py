@@ -123,8 +123,12 @@ def pallas_reduce(x):
 
 def main():
     print(f"backend {jax.default_backend()}", file=sys.stderr)
+    only = sys.argv[1] if len(sys.argv) > 1 else "all"
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((N_ROWS, 512)), jnp.float32)
+    # device-generated data: a 512 MiB host upload crawls through the
+    # axon tunnel and pollutes the session
+    x = jax.jit(lambda: jax.lax.broadcasted_iota(
+        jnp.float32, (N_ROWS, 512), 1) * 1e-3)()
     gib = x.size * 4 / 1e9
 
     t = chain_time(jax.jit(lambda a: a + 1.0), x)
@@ -135,6 +139,8 @@ def main():
 
     t = chain_time(pallas_reduce, x)
     _emit("pallas_reduce_read_gbps", round(gib / t, 1))
+    if only == "copy":
+        return
 
     # dense-LT pass-count scaling at TCO1279 group-0 shapes
     from ectrans_tpu.ops import legendre_pallas as lpal
