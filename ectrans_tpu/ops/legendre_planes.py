@@ -73,6 +73,12 @@ _TIER_PLANES = {"highest": 3, "high": 3, "bf16": 1}
 
 
 def planes_for_tier(precision: str) -> int:
+    """Plane count per precision tier.  NB under this engine "high" is an
+    ALIAS of "highest" (both 3 planes = full fp32-accurate contraction):
+    the limb formulation has no natural ~2^-21 middle tier — 2 planes
+    carry 16 mantissa bits on the TABLE side only, which measured outside
+    the 100*eps gate, so the cheaper-than-fp32 role is served by the
+    1-plane bf16 tier instead."""
     return _TIER_PLANES.get(precision, 3)
 
 

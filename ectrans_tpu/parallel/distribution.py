@@ -153,13 +153,37 @@ def _permute_m_rows(table: np.ndarray, perm: np.ndarray, pad_value=0.0):
     return padded[np.minimum(perm, M)]
 
 
-def host_tables(dist: Distribution, dtype_str: str = "float32") -> dict:
+def _realign_rows(table: np.ndarray, perm: np.ndarray, M: int,
+                  fill=0.0) -> np.ndarray:
+    """(M, NP) coefficient/index table -> (M_pad, NP+1) permuted AND
+    diagonal-realigned: out[p, j] = table[perm[p], perm[p] + j] (``fill``
+    beyond each row's diagonal end and on padding rows).  The dense-row
+    engine's j = n - m layout for a permuted m axis — unlike the
+    single-device ``_diag_realign`` reshape trick this must be built
+    explicitly because row index != m."""
+    NPl = table.shape[1]
+    out = np.full((len(perm),) + (NPl + 1,) + table.shape[2:], fill,
+                  table.dtype)
+    for p, m in enumerate(perm):
+        if m < M:
+            out[p, : NPl - m] = table[m, m:]
+    return out
+
+
+def host_tables(dist: Distribution, dtype_str: str = "float32",
+                engine: str = "xla") -> dict:
     """All numpy tables for the sharded pipeline, in permuted/padded layout.
 
     Keys ending in ``_w`` are sharded over mesh axis "w" on their first
     (or stated) axis; others are replicated.  ``dtype_str`` selects the
     Legendre-table precision source (fp64 requests lazily upgrade fp32
     setup tables — see ``Resolution.parity_tables``).
+
+    ``engine`` keys the big Legendre tensors: ``"xla"`` builds the parity
+    pairs (``lg{gi}_psym/pasym_w``) the grouped-einsum path contracts;
+    ``"dense"`` builds the full-n interleaved tensors (``fl{gi}_pn_w``)
+    plus the realigned gather/coefficient tables the dense-row Pallas
+    kernels consume (same element count — only one set is ever resident).
     """
     res = dist.res
     M, NP = res.M, res.NP
@@ -210,18 +234,47 @@ def host_tables(dist: Distribution, dtype_str: str = "float32") -> dict:
     # sharded over "w" each shard sees the identically-shaped (Lg, Ig, Kg)
     ML = dist.ML
     psym_h, pasym_h = res.parity_tables(dtype_str)
-    for gi, g in enumerate(dist.groups):
-        ig = res.ndgnh - g.i0
-        ps = np.zeros((dist.w * g.Lg, ig, g.kg))
-        pa = np.zeros((dist.w * g.Lg, ig, g.kg))
-        for s in range(dist.w):
-            for j in range(g.Lg):
-                m = perm[s * ML + g.off + j]
-                if m < M:
-                    ps[s * g.Lg + j] = psym_h[m, g.i0 :, : g.kg]
-                    pa[s * g.Lg + j] = pasym_h[m, g.i0 :, : g.kg]
-        out[f"lg{gi}_psym_w"] = ps
-        out[f"lg{gi}_pasym_w"] = pa
+    if engine == "dense":
+        # dense-row engine: full-n interleaved tensors (sym at even j,
+        # asym at odd j — j = n - m), per-shard rows as in the parity
+        # branch below; the kernels derive the south hemisphere from the
+        # (-1)^j parity sign, so ONE tensor serves both hemispheres
+        # (ops/legendre_pallas.py) at the same element count
+        for gi, g in enumerate(dist.groups):
+            ig = res.ndgnh - g.i0
+            pn = np.zeros((dist.w * g.Lg, 2 * g.kg, ig))
+            for s in range(dist.w):
+                for j in range(g.Lg):
+                    m = perm[s * ML + g.off + j]
+                    if m < M:
+                        pn[s * g.Lg + j, 0::2] = psym_h[m, g.i0:, : g.kg].T
+                        pn[s * g.Lg + j, 1::2] = pasym_h[m, g.i0:, : g.kg].T
+            out[f"fl{gi}_pn_w"] = pn
+        # packed -> realigned-row gather (j = n - m per permuted row)
+        out["rg_dense_w"] = _realign_rows(
+            np.ascontiguousarray(res.dense_gather.transpose(1, 2, 0)),
+            perm, M, fill=res.nspec2)              # (M_pad, NP+1, 2)
+        # realigned spectral-operator coefficient tables: the n+-1
+        # couplings of VDTUV/UVTVD/SPNSDE are j+-1 shifts in this layout
+        for pre, ct in (("vdr", ct_vd), ("tvr", ct_tv), ("nsr", ct_ns)):
+            for k, val in ct.items():
+                out[f"{pre}_{k}_w"] = _realign_rows(
+                    np.asarray(val, np.float64), perm, M)
+        # packed index -> realigned j for the psum pack (j = n - m)
+        out["packed_j"] = res.packed_gather_n - res.packed_gather_m
+    else:
+        for gi, g in enumerate(dist.groups):
+            ig = res.ndgnh - g.i0
+            ps = np.zeros((dist.w * g.Lg, ig, g.kg))
+            pa = np.zeros((dist.w * g.Lg, ig, g.kg))
+            for s in range(dist.w):
+                for j in range(g.Lg):
+                    m = perm[s * ML + g.off + j]
+                    if m < M:
+                        ps[s * g.Lg + j] = psym_h[m, g.i0 :, : g.kg]
+                        pa[s * g.Lg + j] = pasym_h[m, g.i0 :, : g.kg]
+            out[f"lg{gi}_psym_w"] = ps
+            out[f"lg{gi}_pasym_w"] = pa
     return out
 
 

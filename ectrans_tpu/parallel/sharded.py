@@ -43,8 +43,9 @@ from ..ops import spectral
 from ..ops.fourier import BluesteinTables, synthesis, analysis
 from .distribution import build_distribution, host_tables
 
-_INT_KEYS = ("idx_sym_w", "idx_asym_w", "dense_gather_w", "pos_of_m", "perm",
-             "packed_c", "packed_n", "pm_perm_pos")
+_INT_KEYS = ("idx_sym_w", "idx_asym_w", "dense_gather_w", "rg_dense_w",
+             "pos_of_m", "perm", "packed_c", "packed_n", "packed_j",
+             "pm_perm_pos")
 
 
 class ShardedTransform:
@@ -59,7 +60,7 @@ class ShardedTransform:
                  precision: str = "highest"):
         if tuple(mesh.axis_names) != ("w", "v"):
             raise ValueError(f'mesh must have axes ("w", "v"), got {mesh.axis_names}')
-        from ..ops.legendre_matmul import _XLA_PREC
+        from ..ops.legendre_matmul import _PALLAS_MODE, _XLA_PREC, engine
 
         self.res = res
         self.mesh = mesh
@@ -69,6 +70,17 @@ class ShardedTransform:
         #: HBM per chip) and contracts single-pass.
         self.precision = precision
         self._prec = _XLA_PREC[precision]
+        # LT engine: the same production dispatch as the single-device
+        # path (reference analogue: ONE engine for every decomposition,
+        # gpu/internal/leinv_mod.F90).  "dense" = the dense-row Pallas
+        # kernels on realigned rows; anything else (incl. the opt-in
+        # planes/pallas experiments, which have no sharded port) runs the
+        # grouped-einsum formulation.  fp64 stays on einsums (true-fp64
+        # contractions; the bf16-pass kernels cannot carry them).
+        eng = engine(precision)
+        self.eng = ("dense" if eng == "dense"
+                    and self.dtype != jnp.float64 else "xla")
+        self._mode = _PALLAS_MODE.get(precision, "bf16x6")
         self.w = mesh.shape["w"]
         self.v = mesh.shape["v"]
         self.dist = build_distribution(res, self.w, self.v)
@@ -78,7 +90,7 @@ class ShardedTransform:
 
     # ------------------------------------------------------------------
     def _place_tables(self):
-        host = host_tables(self.dist, str(self.dtype))
+        host = host_tables(self.dist, str(self.dtype), engine=self.eng)
         dev, specs = {}, {}
         for k, val in host.items():
             if not isinstance(val, np.ndarray):
@@ -95,8 +107,10 @@ class ShardedTransform:
                 spec = P()
             sh = NamedSharding(self.mesh, spec)
             jarr = jnp.asarray(arr)
-            if (self.precision == "bf16" and k.startswith("lg")
-                    and (k.endswith("_psym_w") or k.endswith("_pasym_w"))):
+            if (self.precision == "bf16"
+                    and ((k.startswith("lg") and (k.endswith("_psym_w")
+                                                  or k.endswith("_pasym_w")))
+                         or (k.startswith("fl") and k.endswith("_pn_w")))):
                 jarr = jarr.astype(jnp.bfloat16)
             dev[k] = jax.device_put(jarr, sh)
             specs[k] = spec
@@ -160,11 +174,16 @@ class ShardedTransform:
         return om, np.argsort(om)
 
     # ------------------------------------------------------------------
-    def _packed_to_dense_local(self, spec_packed, t):
+    def _packed_to_dense_local(self, spec_packed, t, eng=None):
         nfld = spec_packed.shape[0]
         padded = jnp.concatenate(
             [spec_packed, jnp.zeros((nfld, 1), spec_packed.dtype)], axis=-1
         )
+        if (eng or self.eng) == "dense":
+            # realigned rows (j = n - m): out-of-row columns gather the
+            # zero pad element, so shifted spectral ops see clean zeros
+            rg = t["rg_dense_w"].transpose(2, 0, 1)  # (2, ML, NP+1)
+            return padded[:, rg]
         dg = t["dense_gather_w"].transpose(1, 0, 2)  # (2, ML, NP)
         return padded[:, dg]
 
@@ -175,17 +194,82 @@ class ShardedTransform:
         local_pos = t["pm_perm_pos"] - widx * ML
         owned = (local_pos >= 0) & (local_pos < ML)
         lp = jnp.clip(local_pos, 0, ML - 1)
-        vals = dense[:, t["packed_c"], lp, t["packed_n"]]
+        ncol = t["packed_j"] if self.eng == "dense" else t["packed_n"]
+        vals = dense[:, t["packed_c"], lp, ncol]
         vals = jnp.where(owned[None, :], vals, 0)
         return jax.lax.psum(vals, "w")
 
-    def _ct(self, t, prefix, keys):
+    def _ct(self, t, prefix, keys, eng=None):
+        """Spectral-operator coefficient tables: the dense engine works on
+        diagonal-realigned rows, so it reads the realigned variants
+        ({prefix}r_*) — the n+-1 couplings stay plain last-axis shifts."""
+        if (eng or self.eng) == "dense" and prefix in ("vd", "tv", "ns"):
+            prefix += "r"
         return {k: t[f"{prefix}_{k}_w"] for k in keys}
 
     # ------------------------------------------------------------------
+    def _lt_inv_dense(self, d2, t):
+        """Dense-row Pallas inverse LT on the shard-local permuted m-block:
+        the production single-device kernels (ops/legendre_pallas.py)
+        applied per group to realigned rows — no parity split/recombination
+        relayouts, one table stream for both hemispheres."""
+        from ..ops.legendre_matmul import _interpret
+        from ..ops.legendre_pallas import group_inv_dense
+
+        nfld = d2.shape[0]
+        interp = _interpret()
+        parts = []
+        for gi, g in enumerate(self.dist.groups):
+            fc2 = 2 * nfld
+            J = t[f"fl{gi}_pn_w"].shape[1]
+            dg = (d2[:, :, g.off : g.off + g.Lg, :J]
+                  .reshape(fc2, g.Lg, J).swapaxes(0, 1))
+            north, south = group_inv_dense(dg, t[f"fl{gi}_pn_w"],
+                                           mode=self._mode, interpret=interp)
+            north = north.swapaxes(0, 1).reshape(nfld, 2, g.Lg, -1)
+            south = south.swapaxes(0, 1).reshape(nfld, 2, g.Lg, -1)[..., ::-1]
+            zp = [(0, 0)] * 3
+            parts.append(jnp.concatenate(
+                [jnp.pad(north, zp + [(g.i0, 0)]),
+                 jnp.pad(south, zp + [(0, g.i0)])], axis=-1))
+        return jnp.concatenate(parts, axis=2)
+
+    def _lt_dir_dense(self, four, t):
+        """Dense-row Pallas direct LT (quadrature-weighted) emitting the
+        shard-local realigned rows (F, 2, ML, NP+1)."""
+        from ..ops.legendre_matmul import _interpret
+        from ..ops.legendre_pallas import group_dir_dense
+
+        nfld = four.shape[0]
+        ndgnh = self.res.grid.ndgnh
+        W1 = self.res.NP + 1
+        interp = _interpret()
+        north_all = four[..., :ndgnh]
+        south_all = four[..., : ndgnh - 1 : -1]
+        fn_all = north_all * t["wq"]
+        fs_all = south_all * t["wq"]
+        # materialise before the kernels (axon fused reverse-slice matmul
+        # miscompile — see ops/legendre_matmul.py)
+        fn_all, fs_all = jax.lax.optimization_barrier((fn_all, fs_all))
+        parts = []
+        for gi, g in enumerate(self.dist.groups):
+            fc2 = 2 * nfld
+            fn = (fn_all[:, :, g.off : g.off + g.Lg, g.i0 :]
+                  .reshape(fc2, g.Lg, -1).swapaxes(0, 1))
+            fs = (fs_all[:, :, g.off : g.off + g.Lg, g.i0 :]
+                  .reshape(fc2, g.Lg, -1).swapaxes(0, 1))
+            d2g = group_dir_dense(fn, fs, t[f"fl{gi}_pn_w"],
+                                  mode=self._mode, interpret=interp)
+            J = d2g.shape[-1]
+            d2g = d2g.swapaxes(0, 1).reshape(nfld, 2, g.Lg, J)
+            parts.append(jnp.pad(d2g, [(0, 0)] * 3 + [(0, W1 - J)]))
+        return jnp.concatenate(parts, axis=2)
+
     def _lt_inv(self, dense, t):
         """Grouped inverse Legendre on the shard-local permuted m-block:
         per-group gather to parity + MXU matmul (memory-tight tables)."""
+        if self.eng == "dense":
+            return self._lt_inv_dense(dense, t)
         prec = self._prec
         acc = (jnp.float32 if dense.dtype in (jnp.float32, jnp.bfloat16)
                else dense.dtype)
@@ -217,6 +301,8 @@ class ShardedTransform:
     def _lt_dir(self, four, t):
         """Grouped direct Legendre (quadrature-weighted transpose) on the
         shard-local m-block; scatters parity back to the dense layout."""
+        if self.eng == "dense":
+            return self._lt_dir_dense(four, t)
         prec = self._prec
         acc = (jnp.float32 if four.dtype in (jnp.float32, jnp.bfloat16)
                else four.dtype)
@@ -528,23 +614,27 @@ class ShardedTransform:
         def lt(dense):
             return self._lt_inv_ll(dense, t, llt, nh, odd, nlat_pad)
 
+        # the lat-lon LT runs the parity-split einsums for every engine
+        # (its tables are small and rebuilt per lat-lon grid), so this
+        # kernel pins the NP-dense layout with eng="xla"
         groups1 = []
         if Fuv:
-            dvor = self._packed_to_dense_local(spvor, t)
-            ddiv = self._packed_to_dense_local(spdiv, t)
+            dvor = self._packed_to_dense_local(spvor, t, eng="xla")
+            ddiv = self._packed_to_dense_local(spdiv, t, eng="xla")
             du, dv = spectral.vordiv_to_uv(
-                dvor, ddiv, self._ct(t, "vd", ("a", "b", "c", "valid")))
+                dvor, ddiv, self._ct(t, "vd", ("a", "b", "c", "valid"),
+                                     eng="xla"))
             if flags.vorgp:
                 groups1.append(lt(dvor))
             if flags.divgp:
                 groups1.append(lt(ddiv))
             groups1.append(lt(jnp.concatenate([du, dv], axis=0)))
         if Fsc:
-            dsc = self._packed_to_dense_local(spsc, t)
+            dsc = self._packed_to_dense_local(spsc, t, eng="xla")
             groups1.append(lt(dsc))
             if flags.scders:
                 dnsd = spectral.ns_derivative(
-                    dsc, self._ct(t, "ns", ("a", "b", "valid")))
+                    dsc, self._ct(t, "ns", ("a", "b", "valid"), eng="xla"))
                 groups1.append(lt(dnsd))
         four = jnp.concatenate(groups1, axis=0)   # (F1, 2, ML, nlat_pad)
         # TRMTOL
@@ -632,6 +722,7 @@ class ShardedTransform:
                     in_specs=(P("v", None), P("v", None), P("v", None),
                               specs_t, llspecs),
                     out_specs=P(None, ("w", "v"), None),
+                    check_vma=False,  # pallas_call has no vma rule
                 )
                 zero = jnp.zeros((0, self.res.nspec2), self.dtype)
                 out = sm(spvor if spvor is not None else zero,
@@ -743,6 +834,7 @@ class ShardedTransform:
                 mesh=self.mesh,
                 in_specs=(P("v", None), P("v", None), P("v", None), specs_t),
                 out_specs=P(None, ("w", "v"), None),
+                check_vma=False,  # pallas_call has no vma rule
             )
             zero = jnp.zeros((0, self.res.nspec2), self.dtype)
             out = sm(spvor if spvor is not None else zero,
@@ -879,6 +971,7 @@ class ShardedTransform:
                 mesh=self.mesh,
                 in_specs=(P(None, ("w", "v"), None), specs_t),
                 out_specs=(P("v", None), P("v", None), P("v", None)),
+                check_vma=False,  # pallas_call has no vma rule
             )
             return sm(grid, self.tables)
 

@@ -89,13 +89,21 @@ def main():
     four = devgen(NFLD_SYN, 2, res.M, res.ndgl)
     grid = devgen(NFLD_ANA, res.ndgl, res.grid.ndlon)
 
+    # NB: tables must be jit ARGUMENTS (pytrees), never partial/closure
+    # captures — closed-over tables embed as HLO constants and the axon
+    # remote compile crawls/rejects (transform.py module docstring; the
+    # first version of this tool hung >25 min in compile for this reason)
     for prec in ("highest", "bf16"):
-        t = chain_time(jax.jit(functools.partial(
-            fourier.synthesis_bucketed, mbt=bt, prec=prec)), four)
+        syn = jax.jit(functools.partial(
+            lambda x, mbt, prec: fourier.synthesis_bucketed(
+                x, mbt, prec=prec), prec=prec))
+        t = chain_time(lambda x: syn(x, bt), four)
         emit(f"synthesis_{prec}_ms", round(t * 1e3, 2))
     for prec in ("highest", "bf16"):
-        t = chain_time(jax.jit(functools.partial(
-            fourier.analysis_bucketed, mbt=bt, M=res.M, prec=prec)), grid)
+        ana = jax.jit(functools.partial(
+            lambda x, mbt, prec: fourier.analysis_bucketed(
+                x, mbt, M=res.M, prec=prec), prec=prec))
+        t = chain_time(lambda x: ana(x, bt), grid)
         emit(f"analysis_{prec}_ms", round(t * 1e3, 2))
 
     # conv core in isolation, largest bucket, both precisions: panel cost
@@ -108,12 +116,12 @@ def main():
     panel_gb = P2 * nlat * bk.bt.nfft * 8 / 1e9
 
     for prec in ("highest", "bf16"):
-        @jax.jit
-        def conv(ar, prec=prec):
+        @functools.partial(jax.jit, static_argnames=("prec",))
+        def conv(ar, ai, bhr, bhi, prec):
             vr, vi = fourier._chunked_conv(ar, ai, bhr, bhi,
                                            out_len=bk.bt.ndlon, prec=prec)
             return vr
-        t = chain_time(conv, ar)
+        t = chain_time(lambda a: conv(a, ai, bhr, bhi, prec=prec), ar)
         emit(f"conv_eqbucket_{prec}", {
             "ms": round(t * 1e3, 2), "panel_gb": round(panel_gb, 3),
             "gbps_per_panelpass": round(panel_gb / t, 1)})
