@@ -141,6 +141,164 @@ def _cmatmul(ar, ai, br, bi, spec, prec=None):
     return m1 - m2, m3 - m1 - m2
 
 
+# ----------------------------------------------------------------------
+# K-packed bf16-limb complex matmuls — OPT-IN EXPERIMENT, measured SLOWER
+# (ECTRANS_TPU_FFT_MXU=pack to reproduce; default stays on the einsums).
+#
+# Round-5 history: 2D microbenchmarks (evidence/r5_fft_bench.log) showed
+# the production stage shapes 12-104x slower at Precision.HIGHEST than
+# one bf16 dot, motivating this path — each complex Karatsuba einsum as
+# ONE real bf16 dot at full fp32-mantissa coverage (complex-as-real
+# A=[xr|xi] against W=[[tr,ti],[-ti,tr]], both split into 3 bf16 limbs by
+# bitwise masking and the 6 kept limb pairs (j+k<=2, the bf16x6 set)
+# stacked along the contraction axis).  Accuracy checks out (stage error
+# 3e-7 relative, tests/test_fft_pack.py), but BOTH premises failed on
+# the idle chip (tools/_probe_conv.py, evidence/r5_fft_pack_verdict):
+# the earlier slow-HIGHEST numbers were inflated by chip contention from
+# concurrent evidence runs (idle eq-bucket conv: einsum 5.3 ms), and this
+# path's in-jit limb packing + axis(-2) dots lower pathologically
+# (253 ms) — the same lowering class that demoted the planes LT engine.
+# Kept opt-in for future backends where HIGHEST is genuinely multi-pass-
+# bound; the microbench lesson (2D flattened forms lower differently
+# than batched einsums) is recorded in BASELINE.md round 5.
+# ----------------------------------------------------------------------
+
+_PAIRS = ((0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1))
+
+
+def _np_split3(a):
+    """numpy fp32 -> 3 bf16-representable fp32 limbs (bitwise masking)."""
+    out = []
+    rem = np.ascontiguousarray(a, np.float32)
+    for _ in range(2):
+        hi = (rem.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+        out.append(hi)
+        rem = rem - hi
+    out.append(rem)
+    return out
+
+
+@functools.lru_cache(maxsize=128)
+def _packed_w_np(n: int, kind: str, cols: int | None = None,
+                 rows: int | None = None):
+    """Packed limb weights (12K, 2N) bf16 for one DFT/twiddle matrix of
+    the length-n plan.  kind selects the matrix (orientation contract x
+    out); cols prunes the contraction extent (occupied f1 rows of the
+    forward step-1), rows prunes the output extent (needed output rows of
+    the inverse step-2)."""
+    import ml_dtypes
+
+    t = _tables_np(n, "float32")
+    if kind in ("f", "b"):
+        tr, ti = t[kind + "_r"], t[kind + "_i"]
+    elif kind == "f1":
+        tr, ti = t["f1_r"][:, :cols], t["f1_i"][:, :cols]
+    elif kind == "f2":
+        tr, ti = t["f2_r"], t["f2_i"]
+    elif kind == "f2b":
+        tr, ti = t["f2b_r"], t["f2b_i"]
+    elif kind == "f1b":
+        tr, ti = t["f1b_r"][:rows], t["f1b_i"][:rows]
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    trt, tit = tr.T, ti.T                       # (contract, out)
+    imp = np.block([[trt, tit], [-tit, trt]])   # (2K, 2N)
+    limbs = _np_split3(imp)
+    return np.concatenate([limbs[k] for (_, k) in _PAIRS],
+                          axis=0).astype(ml_dtypes.bfloat16)
+
+
+def _pack_mm(xr, xi, wnp, axis=-1):
+    """One K-packed limb dot replacing a complex matmul: contracts `axis`
+    of (xr, xi) against the packed weight's rows.  With axis=-1 the
+    output is (..., out) per half; with axis=-2 the contracted axis is
+    removed and the kept last axis moves BEFORE the out axis — callers
+    exploit this to four-step without explicit panel transposes."""
+    from .legendre_planes import split_planes
+
+    lr = split_planes(xr, 3)
+    li = split_planes(xi, 3)
+    segs = [jnp.concatenate([lr[j], li[j]], axis) for (j, _) in _PAIRS]
+    a = jnp.concatenate(segs, axis)
+    # keep the limb split out of the dot fusion (the excess-precision
+    # folding class — see split_planes)
+    a = jax.lax.optimization_barrier(a)
+    cax = a.ndim + axis if axis < 0 else axis
+    o = jax.lax.dot_general(a, jnp.asarray(wnp),
+                            (((cax,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    half = o.shape[-1] // 2
+    return o[..., :half], o[..., half:]
+
+
+def _pack_mode(prec, dtype) -> bool:
+    """Packed-limb path active?  Only for fp32 data at the full-fp32
+    tiers ("highest"/"high" map to HIGHEST here); the bf16 tier keeps its
+    single-pass einsums and fp64 keeps true-fp64 contractions."""
+    import os
+
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    p = _PREC if prec is None else _TIER_PREC.get(prec, prec)
+    p = _fft_prec_override() or p
+    if p != jax.lax.Precision.HIGHEST:
+        return False
+    # default (auto) = einsums: the packed path measured 48x SLOWER on
+    # this backend (see the block comment above)
+    return os.environ.get("ECTRANS_TPU_FFT_MXU", "auto") == "pack"
+
+
+def _fft_ord_pack(re, im, n: int):
+    """fft_ord on the packed-limb path (same contract and output layout)."""
+    if n <= 256:
+        re = _pad_to(re, n)
+        im = _pad_to(im, n)
+        return _pack_mm(re, im, _packed_w_np(n, "f"), axis=-1)
+    n1, n2 = _factor(n)
+    in_len = re.shape[-1]
+    f1 = -(-in_len // n2)
+    re = _pad_to(re, f1 * n2)
+    im = _pad_to(im, f1 * n2)
+    xr = re.reshape(re.shape[:-1] + (f1, n2))
+    xi = im.reshape(im.shape[:-1] + (f1, n2))
+    # step 1: contract the occupied f1 rows -> FLIPPED layout (..., n2, k1)
+    ar, ai = _pack_mm(xr, xi, _packed_w_np(n, "f1", cols=f1), axis=-2)
+    t = _tables_np(n, "float32")
+    twr = jnp.asarray(np.ascontiguousarray(t["tw_r"].T))
+    twi = jnp.asarray(np.ascontiguousarray(t["tw_i"].T))
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+    # step 2: contract n2 -> (..., k1, k2): exactly the ord_map layout,
+    # so the flip costs no transposes at all
+    br, bi = _pack_mm(ar, ai, _packed_w_np(n, "f2"), axis=-2)
+    shape = re.shape[:-1] + (n,)
+    return br.reshape(shape), bi.reshape(shape)
+
+
+def _ifft_from_ord_pack(re, im, out_len: int | None):
+    """ifft_from_ord on the packed-limb path."""
+    n = re.shape[-1]
+    if n <= 256:
+        orr, oii = _pack_mm(re, im, _packed_w_np(n, "b"), axis=-1)
+        if out_len is not None:
+            orr, oii = orr[..., :out_len], oii[..., :out_len]
+        return orr / n, oii / n
+    n1, n2 = _factor(n)
+    xr = re.reshape(re.shape[:-1] + (n1, n2))
+    xi = im.reshape(im.shape[:-1] + (n1, n2))
+    # conj DFT over k2 (last axis) -> (..., k1, n2)
+    ar, ai = _pack_mm(xr, xi, _packed_w_np(n, "f2b"), axis=-1)
+    t = _tables_np(n, "float32")
+    twr, twi = jnp.asarray(t["tw_r"]), jnp.asarray(t["tw_i"])
+    ar, ai = ar * twr + ai * twi, ai * twr - ar * twi
+    # conj DFT over k1 (axis -2), pruned -> (..., n2, fo); one swap back
+    fo = n1 if out_len is None else min(n1, -(-out_len // n2))
+    br, bi = _pack_mm(ar, ai, _packed_w_np(n, "f1b", rows=fo), axis=-2)
+    br = br.swapaxes(-1, -2)
+    bi = bi.swapaxes(-1, -2)
+    shape = re.shape[:-1] + (fo * n2,)
+    return br.reshape(shape) / n, bi.reshape(shape) / n
+
+
 def fft_ord(re, im, n: int | None = None, prec=None):
     """Forward FFT of length n over the last axis; output in ord_map order.
 
@@ -151,6 +309,8 @@ def fft_ord(re, im, n: int | None = None, prec=None):
     """
     if n is None:
         n = re.shape[-1]
+    if _pack_mode(prec, re.dtype):
+        return _fft_ord_pack(re, im, n)
     t = _tables(n, str(re.dtype))
     if n <= 256:
         re = _pad_to(re, n)
@@ -182,6 +342,8 @@ def ifft_from_ord(re, im, out_len: int | None = None, prec=None):
     the result's last axis is then ceil(out_len/n2)*n2 >= out_len.
     """
     n = re.shape[-1]
+    if _pack_mode(prec, re.dtype):
+        return _ifft_from_ord_pack(re, im, out_len)
     t = _tables(n, str(re.dtype))
     if n <= 256:
         orr, oii = _cmatmul(re, im, t["b_r"], t["b_i"], "...n,kn->...k", prec)
