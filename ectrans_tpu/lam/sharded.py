@@ -273,11 +273,15 @@ class ShardedLamTransform:
             spsc if spsc is not None else zero,
             meanu if meanu is not None else zf,
             meanv if meanv is not None else zf,
+            self.tables,
         )
         return self._strip(grid, nuv, nsc, Fuv, Fsc, flags)
 
     def _build_inv(self, flags):
-        def fn(spvor, spdiv, spsc, meanu, meanv):
+        # tables as jit arguments, never closures: closed-over device
+        # arrays embed into the HLO and the axon remote compile rejects
+        # the payload at scale (parallel/sharded.py::_build_inv)
+        def fn(spvor, spdiv, spsc, meanu, meanv, tables):
             kernel = functools.partial(self._inv_kernel, flags=flags)
             sm = jax.shard_map(
                 lambda a, b, c, mu, mv, t: kernel(a, b, c, mu, mv, t),
@@ -286,7 +290,7 @@ class ShardedLamTransform:
                           P("v"), P("v"), self.table_specs),
                 out_specs=P(None, ("w", "v"), None),
             )
-            out = sm(spvor, spdiv, spsc, meanu, meanv, self.tables)
+            out = sm(spvor, spdiv, spsc, meanu, meanv, tables)
             if self.ny_pad != self.res.grid.ny:
                 out = out[:, : self.res.grid.ny]
             return out
@@ -338,7 +342,7 @@ class ShardedLamTransform:
         if Fsc:
             parts.append(sc)
         grid = jnp.concatenate(parts, axis=0)
-        spvor, spdiv, spsc, mu, mv = self._dir_jit[key](grid)
+        spvor, spdiv, spsc, mu, mv = self._dir_jit[key](grid, self.tables)
         out = (
             spvor[:nuv] if nuv else None,
             spdiv[:nuv] if nuv else None,
@@ -349,7 +353,7 @@ class ShardedLamTransform:
         return out
 
     def _build_dir(self, Fuv, Fsc):
-        def fn(grid):
+        def fn(grid, tables):  # tables as argument — see _build_inv
             npad = self.ny_pad - self.res.grid.ny
             if npad:
                 grid = jnp.pad(grid, [(0, 0), (0, npad), (0, 0)])
@@ -361,6 +365,6 @@ class ShardedLamTransform:
                 out_specs=(P("v", None), P("v", None), P("v", None),
                            P("v"), P("v")),
             )
-            return sm(grid, self.tables)
+            return sm(grid, tables)
 
         return jax.jit(fn)

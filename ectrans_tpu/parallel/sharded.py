@@ -518,7 +518,7 @@ class ShardedTransform:
                0 if psc is None else psc.shape[0], flags, fspgl_proc)
         if key not in self._inv_jit:
             self._inv_jit[key] = self._build_inv(flags, fspgl_proc)
-        grid = self._inv_jit[key](pv, pd, psc)
+        grid = self._inv_jit[key](pv, pd, psc, self.tables)
         # un-permute padded slot-major output to the original field order
         fl = FieldLayout.inv(nuv, nsc, flags)
         sel = fl.kvset_index(pos_uv, pos_sc,
@@ -712,7 +712,8 @@ class ShardedTransform:
             odd = ll.nlat % 2 == 1
             specs_t = {k: self.table_specs[k] for k in self.tables}
 
-            def fn(spvor, spdiv, spsc):
+            # tables as jit arguments, never closures — see _build_inv
+            def fn(spvor, spdiv, spsc, tables, llt_):
                 kernel = functools.partial(
                     self._inv_ll_kernel, ut=ut, flags=flags, nh=nh, odd=odd,
                     nlat_pad=nlat_pad)
@@ -728,13 +729,13 @@ class ShardedTransform:
                 out = sm(spvor if spvor is not None else zero,
                          spdiv if spdiv is not None else zero,
                          spsc if spsc is not None else zero,
-                         self.tables, llt)
+                         tables, llt_)
                 if nlat_pad != ll.nlat:
                     out = out[:, : ll.nlat]
                 return out
 
             self._inv_jit[key] = jax.jit(fn)
-        grid = self._inv_jit[key](spvor, spdiv, spsc)
+        grid = self._inv_jit[key](spvor, spdiv, spsc, self.tables, llt)
         return self._strip_fields(grid, nuv, nsc, flags)
 
     def inv_trans(self, spvor=None, spdiv=None, spscalar=None,
@@ -773,7 +774,7 @@ class ShardedTransform:
                0 if spsc is None else spsc.shape[0], flags, fspgl_proc)
         if key not in self._inv_jit:
             self._inv_jit[key] = self._build_inv(flags, fspgl_proc)
-        grid = self._inv_jit[key](spvor, spdiv, spsc)
+        grid = self._inv_jit[key](spvor, spdiv, spsc, self.tables)
         return self._strip_fields(grid, nuv, nsc, flags)
 
     def _inv_packets(self, spvor, spdiv, spsc, flags, npromatr,
@@ -826,7 +827,12 @@ class ShardedTransform:
     def _build_inv(self, flags, fspgl_proc=None):
         specs_t = {k: self.table_specs[k] for k in self.tables}
 
-        def fn(spvor, spdiv, spsc):
+        # tables are a jit ARGUMENT, never a closure capture: closed-over
+        # device arrays embed into the HLO as constants and the axon
+        # remote compile rejects the payload at scale (HTTP 413 at TCO639
+        # — measured, evidence/r5_sharded_overhead.log; same rule as
+        # transform.py's module docstring)
+        def fn(spvor, spdiv, spsc, tables):
             kernel = functools.partial(self._inv_kernel, flags=flags,
                                        fspgl_proc=fspgl_proc)
             sm = jax.shard_map(
@@ -840,7 +846,7 @@ class ShardedTransform:
             out = sm(spvor if spvor is not None else zero,
                      spdiv if spdiv is not None else zero,
                      spsc if spsc is not None else zero,
-                     self.tables)
+                     tables)
             if self.dist.ndgl_pad != self.res.ndgl:
                 out = out[:, : self.res.ndgl]
             return out
@@ -911,7 +917,7 @@ class ShardedTransform:
         key = (Fuv_g, Fsc_g)
         if key not in self._dir_jit:
             self._dir_jit[key] = self._build_dir(Fuv_g, Fsc_g)
-        spvor, spdiv, spsc = self._dir_jit[key](u, v, sc)
+        spvor, spdiv, spsc = self._dir_jit[key](u, v, sc, self.tables)
         spvor = spvor[:nuv] if nuv else None
         spdiv = spdiv[:nuv] if nuv else None
         spsc = spsc[:nsc] if nsc else None
@@ -947,7 +953,7 @@ class ShardedTransform:
         key = (Fuv_g, Fsc_g)
         if key not in self._dir_jit:
             self._dir_jit[key] = self._build_dir(Fuv_g, Fsc_g)
-        spvor, spdiv, spsc = self._dir_jit[key](pu, pv, psc)
+        spvor, spdiv, spsc = self._dir_jit[key](pu, pv, psc, self.tables)
         return (spvor[pos_uv] if nuv else None,
                 spdiv[pos_uv] if nuv else None,
                 spsc[pos_sc] if nsc else None)
@@ -955,7 +961,7 @@ class ShardedTransform:
     def _build_dir(self, Fuv_g, Fsc_g):
         specs_t = {k: self.table_specs[k] for k in self.tables}
 
-        def fn(u, v, sc):
+        def fn(u, v, sc, tables):  # tables as argument — see _build_inv
             parts = []
             if Fuv_g:
                 parts += [u, v]
@@ -973,6 +979,6 @@ class ShardedTransform:
                 out_specs=(P("v", None), P("v", None), P("v", None)),
                 check_vma=False,  # pallas_call has no vma rule
             )
-            return sm(grid, self.tables)
+            return sm(grid, tables)
 
         return jax.jit(fn)
