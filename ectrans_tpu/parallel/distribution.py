@@ -43,6 +43,18 @@ def pingpong_blocks(M: int, w: int) -> list[list[int]]:
 
 
 @dataclasses.dataclass(frozen=True)
+class LatBucketMeta:
+    """One Fourier latitude bucket of the sharded path (local-slot range
+    [lb0, lb1) on every "w" shard; see ``build_distribution``)."""
+
+    lb0: int
+    lb1: int
+    mb: int        # max retained zonal mode over the bucket's rows
+    ndlon: int     # max row length over the bucket's rows
+    nfft: int      # shared chirp-z convolution length
+
+
+@dataclasses.dataclass(frozen=True)
 class GroupMeta:
     """One m-group of the distributed grouped-Legendre layout.
 
@@ -73,6 +85,16 @@ class Distribution:
     pos_of_m: np.ndarray    # (M,) position of natural m in the permuted axis
     pm_perm_pos: np.ndarray  # (nspec2,) permuted-axis position per packed idx
     groups: tuple           # tuple[GroupMeta]
+    # length-sorted latitude distribution (the TPU analogue of SUMPLAT's
+    # load balance): permuted position p = s*LLW + j holds the row of
+    # global length-sorted rank j*w + s, so every "w" shard owns an equal
+    # mix of short/long rows AND local slot range [lb0, lb1) covers
+    # near-identical lengths on every shard — the per-bucket chirp
+    # lengths of the single-device Fourier bucketing stay STATIC and
+    # shard-independent under shard_map.
+    lat_perm: np.ndarray    # (ndgl_pad,) original row at permuted slot
+    lat_pos: np.ndarray     # (ndgl,) permuted slot of natural row
+    lat_buckets: tuple      # tuple[LatBucketMeta]
 
     @property
     def ML(self) -> int:
@@ -84,7 +106,8 @@ class Distribution:
 
 
 @functools.lru_cache(maxsize=8)
-def build_distribution(res: Resolution, w: int, v: int) -> Distribution:
+def build_distribution(res: Resolution, w: int, v: int,
+                       nbuckets: int = 12) -> Distribution:
     """Grouped round-robin wave distribution: contiguous m-groups (the same
     boundaries as the single-device grouped Legendre tables), each dealt
     round-robin to the w shards.  Every shard owns an equal slice of every
@@ -131,10 +154,45 @@ def build_distribution(res: Resolution, w: int, v: int) -> Distribution:
     wv = w * v
     ndgl_pad = -(-res.ndgl // wv) * wv
 
+    # ---- length-sorted latitude distribution + Fourier buckets ----
+    from ..ops.fft_fourstep import good_size
+
+    ndgl = res.ndgl
+    nloen = list(res.grid.nloen)
+    nmen = [int(x) for x in res.nmen]
+    # sort rows by length; pad rows (length -1) sort first, into the
+    # shortest bucket, where they carry zero data/zero chirp input
+    order = sorted(range(ndgl_pad),
+                   key=lambda r: (nloen[r] if r < ndgl else -1, r))
+    LLW = ndgl_pad // w
+    lat_perm = np.empty(ndgl_pad, dtype=np.int64)
+    for p in range(ndgl_pad):
+        s, j = divmod(p, LLW)
+        lat_perm[p] = order[j * w + s]
+    lat_pos = np.empty(ndgl, dtype=np.int64)
+    for p, r in enumerate(lat_perm):
+        if r < ndgl:
+            lat_pos[r] = p
+
+    nb = max(1, min(nbuckets, LLW // 16))
+    bounds = [round(LLW * k / nb) for k in range(nb + 1)]
+    lat_buckets = []
+    for k in range(nb):
+        lb0, lb1 = bounds[k], bounds[k + 1]
+        if lb0 == lb1:
+            continue
+        rows = [r for r in order[lb0 * w : lb1 * w] if r < ndgl]
+        mb = min(res.nsmax, max((nmen[r] for r in rows), default=0))
+        ndlon_b = max((nloen[r] for r in rows), default=1)
+        lat_buckets.append(LatBucketMeta(
+            lb0=lb0, lb1=lb1, mb=mb, ndlon=ndlon_b,
+            nfft=good_size(ndlon_b + 2 * mb + 1)))
+
     return Distribution(
         res=res, w=w, v=v, M_pad=M_pad, ndgl_pad=ndgl_pad,
         perm=perm, pos_of_m=pos_of_m, pm_perm_pos=pm_perm_pos,
         groups=tuple(groups),
+        lat_perm=lat_perm, lat_pos=lat_pos, lat_buckets=tuple(lat_buckets),
     )
 
 
@@ -214,20 +272,32 @@ def host_tables(dist: Distribution, dtype_str: str = "float32",
         "pm_perm_pos": dist.pm_perm_pos,
     }
 
-    # per-latitude tables, padded to ndgl_pad (pad rows are zero): racthe and
-    # the Bluestein chirp tables, sharded over "w" on the latitude axis
+    # per-latitude tables in the length-sorted permuted order (pad rows
+    # carry zeros), sharded over "w" on the latitude axis: racthe plus one
+    # Bluestein chirp-table set per Fourier bucket (the sharded analogue
+    # of ops/fourier.bucketed_tables — per-bucket nfft/mmax stay static
+    # and shard-independent because every shard owns the same local-slot
+    # length mix; see build_distribution).
     from ..ops.fourier import host_bluestein_tables
 
-    npad = dist.ndgl_pad - res.ndgl
-    bt = host_bluestein_tables(
-        tuple(res.grid.nloen), tuple(int(x) for x in res.nmen), res.nsmax
-    )
-    for k, val in bt.items():
-        if isinstance(val, np.ndarray):
-            out[f"bt_{k}_lat_w"] = np.pad(val, [(0, npad)] + [(0, 0)] * (val.ndim - 1))
-        else:
-            out[f"bt_{k}"] = val
-    out["racthe_lat_w"] = np.pad(res.racthe, (0, npad))
+    ndgl, lat_perm = res.ndgl, dist.lat_perm
+    LLW = dist.ndgl_pad // dist.w
+    out["lat_perm"] = lat_perm
+    out["lat_pos"] = dist.lat_pos
+    for bi, bm in enumerate(dist.lat_buckets):
+        rows = [int(lat_perm[s * LLW + j])
+                for s in range(dist.w) for j in range(bm.lb0, bm.lb1)]
+        nloen_b = tuple(res.grid.nloen[r] if r < ndgl else 1 for r in rows)
+        nmen_b = tuple(min(int(res.nmen[r]), bm.mb) if r < ndgl else 0
+                       for r in rows)
+        bt = host_bluestein_tables(nloen_b, nmen_b, bm.mb)
+        assert bt["nfft"] == bm.nfft and bt["ndlon"] == bm.ndlon
+        for k, val in bt.items():
+            if isinstance(val, np.ndarray):
+                out[f"fb{bi}_{k}_w"] = val
+    racthe_pad = np.concatenate(
+        [res.racthe, np.zeros(dist.ndgl_pad - ndgl)])
+    out["racthe_lat_w"] = racthe_pad[lat_perm]
 
     # grouped Legendre tensors: per group g, rows (w * Lg, Ig, Kg) with row
     # s*Lg + j = P[perm[s*ML + off + j]][i0:, :kg] (zero rows for padding) —

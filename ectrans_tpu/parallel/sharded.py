@@ -22,9 +22,14 @@ Data placement per phase (per device of the w x v mesh):
   replicated over "w" (each w-rank reads only its own m rows).
 * wave space: (nfld/v, 2, M_pad/w, ndgl) — m-blocks over "w" (balanced,
   contiguous in the permuted m axis from ``distribution.pingpong_blocks``).
-* Fourier space: (nfld/v, 2, M, ndgl_pad/w) — latitudes over "w".
+* Fourier space: (nfld/v, 2, M, ndgl_pad/w) — latitudes over "w", in the
+  LENGTH-SORTED order of ``distribution.lat_perm`` (each shard owns an
+  equal mix of short/long rows, so the per-bucket chirp-z lengths of the
+  bucketed Fourier layer stay static and shard-independent — the SUMPLAT
+  load-balance idea).
 * grid space: (nfld, ndgl_pad/(w*v), ndlon) — all fields, latitudes over
-  both axes; equals a global array with NamedSharding P(None, ("w","v"), None).
+  both axes in the same sorted order inside the pipeline; the public
+  inv/dir surfaces convert to/from pole-to-pole order at the jit boundary.
 """
 
 from __future__ import annotations
@@ -45,7 +50,7 @@ from .distribution import build_distribution, host_tables
 
 _INT_KEYS = ("idx_sym_w", "idx_asym_w", "dense_gather_w", "rg_dense_w",
              "pos_of_m", "perm", "packed_c", "packed_n", "packed_j",
-             "pm_perm_pos")
+             "pm_perm_pos", "lat_perm", "lat_pos")
 
 
 class ShardedTransform:
@@ -83,7 +88,10 @@ class ShardedTransform:
         self._mode = _PALLAS_MODE.get(precision, "bf16x6")
         self.w = mesh.shape["w"]
         self.v = mesh.shape["v"]
-        self.dist = build_distribution(res, self.w, self.v)
+        import os
+
+        nb = int(os.environ.get("ECTRANS_TPU_FFT_BUCKETS", "12"))
+        self.dist = build_distribution(res, self.w, self.v, nbuckets=nb)
         self._place_tables()
         self._inv_jit = {}
         self._dir_jit = {}
@@ -116,15 +124,16 @@ class ShardedTransform:
             specs[k] = spec
         self.tables = dev
         self.table_specs = specs
-        self.bt_meta = {k: v for k, v in host.items() if not isinstance(v, np.ndarray)}
 
     # ------------------------------------------------------------------
-    def _local_bt(self, t) -> BluesteinTables:
-        """Assemble a BluesteinTables view from per-device latitude rows."""
-        f = lambda name: t[f"bt_{name}_lat_w"]
+    def _bucket_bt(self, t, k: int) -> BluesteinTables:
+        """Assemble Fourier bucket k's BluesteinTables view from the
+        shard-local latitude rows (every shard holds the same local-slot
+        length mix — see distribution.build_distribution)."""
+        bm = self.dist.lat_buckets[k]
+        f = lambda name: t[f"fb{k}_{name}_w"]
         return BluesteinTables(
-            nfft=self.bt_meta["bt_nfft"], mmax=self.bt_meta["bt_mmax"],
-            ndlon=self.bt_meta["bt_ndlon"],
+            nfft=bm.nfft, mmax=bm.mb, ndlon=bm.ndlon,
             syn_in_r=f("syn_in_r"), syn_in_i=f("syn_in_i"),
             syn_bh_r=f("syn_bh_r"), syn_bh_i=f("syn_bh_i"),
             syn_out_r=f("syn_out_r"), syn_out_i=f("syn_out_i"),
@@ -132,6 +141,32 @@ class ShardedTransform:
             ana_bh_r=f("ana_bh_r"), ana_bh_i=f("ana_bh_i"),
             ana_out_r=f("ana_out_r"), ana_out_i=f("ana_out_i"),
         )
+
+    def _synthesis_bucketed_local(self, four2, t):
+        """Per-bucket chirp-z synthesis on the shard's local (length-
+        sorted) latitude slots -> (F2, LL, ndlon)."""
+        ndlon = self.res.grid.ndlon
+        outs = []
+        for k, bm in enumerate(self.dist.lat_buckets):
+            fb = four2[:, :, : bm.mb + 1, bm.lb0 : bm.lb1]
+            g = synthesis(fb, self._bucket_bt(t, k))
+            outs.append(jnp.pad(
+                g, [(0, 0), (0, 0), (0, ndlon - g.shape[-1])]))
+        return jnp.concatenate(outs, axis=1)
+
+    def _analysis_bucketed_local(self, x, t):
+        """Per-bucket chirp-z analysis of local latitude rows
+        (F, LL, ndlon) -> (F, 2, M, LL)."""
+        M = self.res.M
+        outs = []
+        for k, bm in enumerate(self.dist.lat_buckets):
+            gb = x[:, bm.lb0 : bm.lb1, : bm.ndlon]
+            fb = analysis(gb, self._bucket_bt(t, k), min(M, bm.mb + 1))
+            if fb.shape[2] < M:
+                fb = jnp.pad(fb, [(0, 0), (0, 0), (0, M - fb.shape[2]),
+                                  (0, 0)])
+            outs.append(fb)
+        return jnp.concatenate(outs, axis=-1)
 
     @staticmethod
     def _kvset_slots(kvset, v: int):
@@ -370,9 +405,11 @@ class ShardedTransform:
         dense_all = (jnp.concatenate(lt_in, axis=0)
                      if len(lt_in) > 1 else lt_in[0])
         four = self._lt_inv(dense_all, t)  # (F1, 2, ML, ndgl)
-        npad = dist.ndgl_pad - res.ndgl
-        if npad:
-            four = jnp.pad(four, [(0, 0), (0, 0), (0, 0), (0, npad)])
+        # permute latitudes to the length-sorted distributed order (pad
+        # slots read the appended zero column)
+        fourz = jnp.concatenate(
+            [four, jnp.zeros(four.shape[:3] + (1,), four.dtype)], axis=-1)
+        four = fourz[..., jnp.minimum(t["lat_perm"], res.ndgl)]
         # --- TRMTOL: m-distributed -> latitude-distributed ---
         four = jax.lax.all_to_all(four, "w", split_axis=3, concat_axis=2, tiled=True)
         # un-permute the m axis to natural order (drop padding rows)
@@ -411,11 +448,13 @@ class ShardedTransform:
         if fspgl_proc is not None:
             # FSPGL hook on the distributed path (fspgl_int_mod.F90): the
             # callback sees this shard's latitude rows with the full m
-            # range — the same per-latitude semantics as the reference.
+            # range — per-latitude semantics as in the reference.  NB the
+            # rows arrive in the distribution's length-sorted order
+            # (dist.lat_perm), not pole-to-pole.
             four2 = fspgl_proc(four2)
 
-        # --- Fourier synthesis on local latitudes ---
-        grid = synthesis(four2, self._local_bt(t))  # (F2, LL, ndlon)
+        # --- Fourier synthesis on local latitudes (per-bucket chirp-z) ---
+        grid = self._synthesis_bucketed_local(four2, t)  # (F2, LL, ndlon)
 
         # --- TRLTOG: latitude-distributed -> grid columns (gather fields) ---
         grid = jax.lax.all_to_all(grid, "v", split_axis=1, concat_axis=0, tiled=True)
@@ -437,8 +476,8 @@ class ShardedTransform:
         g_om = grid[om]
         # --- TRGTOL: grid columns -> latitude-distributed (scatter fields) ---
         x = jax.lax.all_to_all(g_om, "v", split_axis=0, concat_axis=1, tiled=True)
-        # (Fin/v, LL, ndlon)
-        four = analysis(x, self._local_bt(t), res.M)  # (F, 2, M, LL)
+        # (Fin/v, LL, ndlon), rows in length-sorted order
+        four = self._analysis_bucketed_local(x, t)  # (F, 2, M, LL)
         Fuv = Fuv_g // self.v
         Fsc = Fsc_g // self.v
         if Fuv:
@@ -454,7 +493,8 @@ class ShardedTransform:
         four = fourz[:, :, jnp.minimum(t["perm"], res.M), :]  # (F, 2, M_pad, LL)
         # --- TRLTOM: latitude-distributed -> m-distributed ---
         four = jax.lax.all_to_all(four, "w", split_axis=2, concat_axis=3, tiled=True)
-        four = four[..., : res.ndgl]  # drop latitude padding
+        # back to natural latitude order for the quadrature/LT (drops pads)
+        four = four[..., t["lat_pos"]]
 
         dense = self._lt_dir(four, t)
 
@@ -847,9 +887,9 @@ class ShardedTransform:
                      spdiv if spdiv is not None else zero,
                      spsc if spsc is not None else zero,
                      tables)
-            if self.dist.ndgl_pad != self.res.ndgl:
-                out = out[:, : self.res.ndgl]
-            return out
+            # grid rows come back in the length-sorted distributed order;
+            # restore pole-to-pole (also drops the pad rows)
+            return out[:, jnp.asarray(self.dist.lat_pos)]
 
         return jax.jit(fn)
 
@@ -968,9 +1008,13 @@ class ShardedTransform:
             if Fsc_g:
                 parts.append(sc)
             grid = jnp.concatenate(parts, axis=0)
-            npad = self.dist.ndgl_pad - self.res.ndgl
-            if npad:
-                grid = jnp.pad(grid, [(0, 0), (0, npad), (0, 0)])
+            # rows to the length-sorted distributed order (pad slots read
+            # the appended zero row)
+            gz = jnp.concatenate(
+                [grid, jnp.zeros((grid.shape[0], 1, grid.shape[2]),
+                                 grid.dtype)], axis=1)
+            grid = gz[:, jnp.minimum(jnp.asarray(self.dist.lat_perm),
+                                     self.res.ndgl)]
             kernel = functools.partial(self._dir_kernel, Fuv_g=Fuv_g, Fsc_g=Fsc_g)
             sm = jax.shard_map(
                 lambda g, t: kernel(g, t),
