@@ -5,10 +5,13 @@ single-device transform at the same config/fields, and report the ratio.
 
 The reference analogue: the GPU backend runs the SAME engine for every
 decomposition (gpu/internal/leinv_mod.F90), so 1-rank MPI vs serial costs
-only the (empty) alltoallv.  Here the sharded path still uses the
-grouped-einsum formulation (the round-3 dense-row engine port is pending,
-sharded.py:186-252), so this number also quantifies what that port is
-worth on one chip.
+only the (empty) alltoallv.  As of round 5 the sharded path runs the
+production dense-row engine AND the bucketed Fourier layer (length-sorted
+latitude distribution), so the remaining ratio is collectives/copies,
+the psum pack gather, and layout-boundary gathers.  Round-5 history:
+2.45x before the bucketed-Fourier port (evidence/r5_sharded_overhead.log,
+with the gap attributed inv 19.8->51.9 / dir 10.3->26.7 ms and the
+unbucketed Fourier measured worth ~15 ms via FFT_BUCKETS=1).
 
 Run on the chip:  python tools/sharded_overhead.py [TCO639]
 """
