@@ -39,24 +39,24 @@ def emit(k, v):
 
 
 def chain_time(fn, x, iters=6):
-    import jax
-
+    """bench.py's output-feedback chain: the pair's output shape equals
+    its input shape, so x = fn(x) is a true data-dependent chain with NO
+    eager per-iteration ops (eager chain perturbations measured +200 ms
+    of overhead per iteration on the axon dispatch path — only this form
+    reproduces the production bench's numbers)."""
     out = fn(x)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.ravel()[:1])
+    np.asarray(out.ravel()[:1])
     rtts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(leaf.ravel()[:1])
+        np.asarray(out.ravel()[:1])
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
     cur = x
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(cur)
-        s = jax.tree_util.tree_leaves(out)[0].ravel()[0] * 1e-30
-        cur = cur + s.astype(cur.dtype)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        cur = fn(cur)
+    np.asarray(cur.ravel()[:1])
     return max(0.0, time.perf_counter() - t0 - rtt) / iters
 
 
