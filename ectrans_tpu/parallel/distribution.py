@@ -320,10 +320,6 @@ def host_tables(dist: Distribution, dtype_str: str = "float32",
                         pn[s * g.Lg + j, 0::2] = psym_h[m, g.i0:, : g.kg].T
                         pn[s * g.Lg + j, 1::2] = pasym_h[m, g.i0:, : g.kg].T
             out[f"fl{gi}_pn_w"] = pn
-        # packed -> realigned-row gather (j = n - m per permuted row)
-        out["rg_dense_w"] = _realign_rows(
-            np.ascontiguousarray(res.dense_gather.transpose(1, 2, 0)),
-            perm, M, fill=res.nspec2)              # (M_pad, NP+1, 2)
         # realigned spectral-operator coefficient tables: the n+-1
         # couplings of VDTUV/UVTVD/SPNSDE are j+-1 shifts in this layout
         for pre, ct in (("vdr", ct_vd), ("tvr", ct_tv), ("nsr", ct_ns)):
@@ -332,6 +328,26 @@ def host_tables(dist: Distribution, dtype_str: str = "float32",
                     np.asarray(val, np.float64), perm, M)
         # packed index -> realigned j for the psum pack (j = n - m)
         out["packed_j"] = res.packed_gather_n - res.packed_gather_m
+        # row-slice packed->dense (layout.packed_to_dense's formulation on
+        # the permuted m axis): per-row packed block start (pad rows point
+        # at the zero region past nspec2) + realigned validity mask
+        nasm0 = np.asarray(res.nasm0, np.int64)
+        mrow = np.minimum(perm, M - 1)
+        out["nasm0_perm_w"] = np.where(perm < M, nasm0[mrow], res.nspec2)
+        jj = np.arange(NP + 1)
+        lrow = np.where(perm < M, res.nsmax - mrow + 1, 0)
+        out["rvalid_w"] = (jj[None, :] < lrow[:, None]).astype(np.float64)
+        # natural m -> shard-local row (or ML = zero row when another
+        # shard owns m): lets each shard assemble a full-M m-major rows
+        # tensor by ONE row gather and run the production compaction
+        # kernel before the psum (ops/pack_pallas.py)
+        rom = np.full((dist.w, M), dist.ML, np.int64)
+        for s in range(dist.w):
+            for p in range(dist.ML):
+                m = perm[s * dist.ML + p]
+                if m < M:
+                    rom[s, m] = p
+        out["rom_w"] = rom
     else:
         for gi, g in enumerate(dist.groups):
             ig = res.ndgnh - g.i0

@@ -48,7 +48,7 @@ from ..ops import spectral
 from ..ops.fourier import BluesteinTables, synthesis, analysis
 from .distribution import build_distribution, host_tables
 
-_INT_KEYS = ("idx_sym_w", "idx_asym_w", "dense_gather_w", "rg_dense_w",
+_INT_KEYS = ("idx_sym_w", "idx_asym_w", "dense_gather_w", "nasm0_perm_w",
              "pos_of_m", "perm", "packed_c", "packed_n", "packed_j",
              "pm_perm_pos", "lat_perm", "lat_pos")
 
@@ -92,6 +92,11 @@ class ShardedTransform:
 
         nb = int(os.environ.get("ECTRANS_TPU_FFT_BUCKETS", "12"))
         self.dist = build_distribution(res, self.w, self.v, nbuckets=nb)
+        # compaction-kernel plan for the packed psum (same gate as the
+        # single-device direct transform, transform._pack_plan)
+        from ..transform import _pack_plan
+
+        self._pack_plan = _pack_plan(res, self.eng)
         self._place_tables()
         self._inv_jit = {}
         self._dir_jit = {}
@@ -211,20 +216,58 @@ class ShardedTransform:
     # ------------------------------------------------------------------
     def _packed_to_dense_local(self, spec_packed, t, eng=None):
         nfld = spec_packed.shape[0]
+        if (eng or self.eng) == "dense":
+            # realigned rows (j = n - m): each m-block is CONTIGUOUS in the
+            # packed layout, so this is one row-slice gather (ML start
+            # offsets, contiguous 2*(NP+1)-wide slices) + reshape — the
+            # layout.packed_to_dense formulation, ~5x cheaper than the
+            # per-element rg_dense gather on TPU.  The validity mask
+            # restores exact zeros beyond each row's diagonal end (shifted
+            # spectral ops rely on clean zeros there).
+            NP1 = self.res.NP + 1
+            G = 2 * NP1
+            specp = jnp.pad(spec_packed, [(0, 0), (0, G)])
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(1,))
+            rows = jax.lax.gather(
+                specp, t["nasm0_perm_w"][:, None], dn,
+                slice_sizes=(nfld, G),
+                mode=jax.lax.GatherScatterMode.CLIP)     # (ML, nfld, G)
+            d2 = rows.reshape(-1, nfld, NP1, 2).transpose(1, 3, 0, 2)
+            return d2 * t["rvalid_w"]
         padded = jnp.concatenate(
             [spec_packed, jnp.zeros((nfld, 1), spec_packed.dtype)], axis=-1
         )
-        if (eng or self.eng) == "dense":
-            # realigned rows (j = n - m): out-of-row columns gather the
-            # zero pad element, so shifted spectral ops see clean zeros
-            rg = t["rg_dense_w"].transpose(2, 0, 1)  # (2, ML, NP+1)
-            return padded[:, rg]
         dg = t["dense_gather_w"].transpose(1, 0, 2)  # (2, ML, NP)
         return padded[:, dg]
 
     def _dense_to_packed_psum(self, dense, t):
-        """Masked local gather + psum over "w" (UPDSP + spectral gather)."""
+        """Local compaction + psum over "w" (UPDSP + spectral gather).
+
+        Dense engine: each shard row-gathers its owned realigned rows into
+        a full-M m-major tensor (zero rows where another shard owns m) and
+        runs the production Pallas compaction kernel
+        (``ops/pack_pallas.py``) before the psum — the same kernel as the
+        single-device path, so mesh-(1,1) pays single-device cost instead
+        of the ~2 GB/s per-element packed gather.  Per-shard work is the
+        full packed walk (not 1/w of it); the kernel is ~3 ms at TCO1279,
+        small next to the collectives it feeds.
+        """
         ML = self.dist.ML
+        if self.eng == "dense" and self._pack_plan is not None:
+            from ..ops import pack_pallas
+            from ..ops.legendre_matmul import _interpret
+
+            F, _, _, W1 = dense.shape
+            loc = dense.transpose(2, 1, 0, 3).reshape(-1, 2 * F, W1)
+            loc = jnp.concatenate(
+                [loc, jnp.zeros((1, 2 * F, W1), dense.dtype)], axis=0)
+            loc = jax.lax.optimization_barrier(loc)
+            mm = loc[t["rom_w"][0]]                   # (M, 2F, W1)
+            packed = pack_pallas.packed_from_mmajor(
+                mm, self._pack_plan, interpret=_interpret())
+            return jax.lax.psum(packed, "w")
         widx = jax.lax.axis_index("w")
         local_pos = t["pm_perm_pos"] - widx * ML
         owned = (local_pos >= 0) & (local_pos < ML)
@@ -406,14 +449,22 @@ class ShardedTransform:
                      if len(lt_in) > 1 else lt_in[0])
         four = self._lt_inv(dense_all, t)  # (F1, 2, ML, ndgl)
         # permute latitudes to the length-sorted distributed order (pad
-        # slots read the appended zero column)
+        # slots read the appended zero column).  Both boundary permutations
+        # run as LEADING-axis whole-row gathers: the axon XLA gather
+        # lowering fetches element-by-element along minor axes (~2 GB/s,
+        # see ops/pack_pallas.py) while contiguous-row slices run near
+        # copy speed.  The optimization_barriers stop XLA folding the
+        # transposes back into minor-axis gather dimension numbers.
         fourz = jnp.concatenate(
             [four, jnp.zeros(four.shape[:3] + (1,), four.dtype)], axis=-1)
-        four = fourz[..., jnp.minimum(t["lat_perm"], res.ndgl)]
+        fT = jax.lax.optimization_barrier(jnp.moveaxis(fourz, 3, 0))
+        fT = fT[jnp.minimum(t["lat_perm"], res.ndgl)]  # (ndgl_pad, F1, 2, ML)
         # --- TRMTOL: m-distributed -> latitude-distributed ---
-        four = jax.lax.all_to_all(four, "w", split_axis=3, concat_axis=2, tiled=True)
-        # un-permute the m axis to natural order (drop padding rows)
-        four = four[:, :, t["pos_of_m"], :]  # (F1, 2, M, LL)
+        fT = jax.lax.all_to_all(fT, "w", split_axis=0, concat_axis=3, tiled=True)
+        # un-permute the m axis to natural order (drop padding rows);
+        # fT is (LLW, F1, 2, M_pad) after the tiled all_to_all
+        fM = jax.lax.optimization_barrier(jnp.moveaxis(fT, 3, 0))
+        four = fM[t["pos_of_m"]].transpose(2, 3, 0, 1)  # (F1, 2, M, LL)
 
         # --- FSC on local latitudes ---
         racthe = t["racthe_lat_w"][None, None, None, :]
@@ -485,16 +536,21 @@ class ShardedTransform:
             four = jnp.concatenate(
                 [four[: 2 * Fuv] * racthe, four[2 * Fuv :]], axis=0
             )
-        # permute m to the distributed layout (pad rows read a zero row)
-        fourz = jnp.concatenate(
-            [four, jnp.zeros(four.shape[:2] + (1,) + four.shape[3:], four.dtype)],
-            axis=2,
-        )
-        four = fourz[:, :, jnp.minimum(t["perm"], res.M), :]  # (F, 2, M_pad, LL)
+        # permute m to the distributed layout (pad rows read a zero row);
+        # both boundary permutations as leading-axis whole-row gathers
+        # (minor-axis gathers fetch element-by-element on this backend —
+        # see the matching inverse-path comment)
+        fM = jnp.moveaxis(four, 2, 0)                  # (M, F, 2, LL)
+        fM = jnp.concatenate(
+            [fM, jnp.zeros((1,) + fM.shape[1:], fM.dtype)], axis=0)
+        fM = jax.lax.optimization_barrier(fM)
+        fM = fM[jnp.minimum(t["perm"], res.M)]         # (M_pad, F, 2, LL)
         # --- TRLTOM: latitude-distributed -> m-distributed ---
-        four = jax.lax.all_to_all(four, "w", split_axis=2, concat_axis=3, tiled=True)
-        # back to natural latitude order for the quadrature/LT (drops pads)
-        four = four[..., t["lat_pos"]]
+        fT = jax.lax.all_to_all(fM, "w", split_axis=0, concat_axis=3, tiled=True)
+        # back to natural latitude order for the quadrature/LT (drops
+        # pads); fT is (ML, F, 2, ndgl_pad) after the tiled all_to_all
+        fL = jax.lax.optimization_barrier(jnp.moveaxis(fT, 3, 0))
+        four = fL[t["lat_pos"]].transpose(2, 3, 1, 0)  # (F, 2, ML, ndgl)
 
         dense = self._lt_dir(four, t)
 

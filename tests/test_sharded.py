@@ -135,6 +135,38 @@ def test_sharded_bf16_tier_relaxed_gate():
     assert err < 1e6 * np.finfo(np.float32).eps * scale, err
 
 
+@pytest.mark.parametrize("w,v", [(1, 1), (2, 1), (4, 2)])
+def test_sharded_dense_engine_roundtrip(w, v, monkeypatch):
+    """The production dense-row engine's sharded port (realigned rows,
+    row-slice packed<->dense, compaction-kernel psum) in interpret mode:
+    full fp32 roundtrip vs the single-device result on the CPU mesh."""
+    monkeypatch.setenv("ECTRANS_TPU_LEG_KERNEL", "dense")
+    monkeypatch.setenv("ECTRANS_TPU_PACK_KERNEL", "force")
+    res = et.setup("O48", 47)
+    vor, div, sc = _random_state(res, 2, 2, seed=9)
+    flags = et.InvFlags(scders=True, uvders=True)
+    st = ShardedTransform(res, make_mesh(w, v), dtype=jnp.float32)
+    assert st.eng == "dense"
+    assert st._pack_plan is not None
+    grid = st.inv_trans(spvor=jnp.asarray(vor, jnp.float32),
+                        spdiv=jnp.asarray(div, jnp.float32),
+                        spscalar=jnp.asarray(sc, jnp.float32), flags=flags)
+    ref = np.asarray(et.inv_trans(
+        res, spvor=jnp.asarray(vor), spdiv=jnp.asarray(div),
+        spscalar=jnp.asarray(sc), flags=flags, dtype=jnp.float64))
+    gerr = np.abs(np.asarray(grid) - ref).max() / np.abs(ref).max()
+    assert gerr < 1e-5, f"(w={w},v={v}) dense inv mismatch {gerr}"
+    gv, gd, gs = st.dir_trans(u=grid[:2], v=grid[2:4], scalars=grid[4:6])
+    rv, rd, rs = et.dir_trans(res, u=jnp.asarray(ref[:2]),
+                              v=jnp.asarray(ref[2:4]),
+                              scalars=jnp.asarray(ref[4:6]),
+                              dtype=jnp.float64)
+    for name, g, r in (("vor", gv, rv), ("div", gd, rd), ("sc", gs, rs)):
+        r = np.asarray(r)
+        err = np.abs(np.asarray(g) - r).max() / np.abs(r).max()
+        assert err < 1e-5, f"(w={w},v={v}) dense dir {name} mismatch {err}"
+
+
 FLAG_CASES = [
     # (nuv, nsc, flags) — exercise every group-permutation branch
     (2, 0, et.InvFlags()),                          # uv only, no flags

@@ -94,6 +94,18 @@ def main():
     t_sharded = chain(sharded, (spvor, spdiv, spsc), "sharded mesh=(1,1)")
     print(f"overhead ratio: {t_sharded/t_single:.2f}x", flush=True)
 
+    # on-chip correctness: sharded vs single outputs (guards the sharded
+    # engine/layout reformulations against silent-lowering defects the
+    # interpret-mode CPU tests cannot see)
+    ref = [np.asarray(x) for x in single(spvor, spdiv, spsc)]
+    got = [np.asarray(x) for x in sharded(spvor, spdiv, spsc)]
+    worst = max(np.abs(g - r).max() / max(np.abs(r).max(), 1e-30)
+                for g, r in zip(got, ref))
+    print(f"sharded-vs-single max rel delta: {worst:.3e}", flush=True)
+    gate = 1e-4  # fp32 roundtrip class; layout bugs show up at O(1)
+    print(f"correctness: {'PASS' if worst < gate else 'FAIL'} "
+          f"(gate {gate:g})", flush=True)
+
 
 if __name__ == "__main__":
     main()
