@@ -519,23 +519,40 @@ class ShardedTransform:
         return grid[inv_perm]
 
     # ------------------------------------------------------------------
-    def _dir_kernel(self, grid, t, Fuv_g: int, Fsc_g: int):
-        """grid: (Fin_global, LL/v, ndlon) local block, group-major fields."""
-        res, dist = self.res, self.dist
+    def _dir_ana_kernel(self, grid, t, Fuv_g: int, Fsc_g: int):
+        """grid: (Fin_global, LL/v, ndlon) local block, group-major fields
+        -> Fourier coefficients (F, 2, ML, ndgl) on this shard's m-block.
+
+        Runs as its OWN program: fusing the direct-transform analysis with
+        the LT kernels (or the LT with the packing) silently miscompiles
+        on this backend — the same class as the single-device dir split
+        (transform._dir_ana_impl / the round-5 F1024 fix); measured on the
+        sharded path at TCO639 (evidence/r5_sharded_check.log: dir wrong
+        at 0.68 rel with BOTH packer implementations while inv is exact).
+        """
+        res = self.res
         gsz = ([Fuv_g, Fuv_g] if Fuv_g else []) + ([Fsc_g] if Fsc_g else [])
         om, _ = self._group_perms(gsz, self.v)
         g_om = grid[om]
         # --- TRGTOL: grid columns -> latitude-distributed (scatter fields) ---
         x = jax.lax.all_to_all(g_om, "v", split_axis=0, concat_axis=1, tiled=True)
-        # (Fin/v, LL, ndlon), rows in length-sorted order
-        four = self._analysis_bucketed_local(x, t)  # (F, 2, M, LL)
+        # (Fin/v, LL, ndlon), rows in length-sorted order.
+        # u/v and scalars are analysed in SEPARATE bucketed calls: feeding
+        # the 3-array field concat into the per-bucket row slices
+        # miscompiles on the axon TPU backend (same class as the
+        # single-device _dir_ana_impl split; optimization_barrier does not
+        # prevent it — measured on this path at TCO639,
+        # evidence/r5_sharded_check.log)
         Fuv = Fuv_g // self.v
-        Fsc = Fsc_g // self.v
+        parts = []
         if Fuv:
             racthe = t["racthe_lat_w"][None, None, None, :]
-            four = jnp.concatenate(
-                [four[: 2 * Fuv] * racthe, four[2 * Fuv :]], axis=0
-            )
+            parts.append(
+                self._analysis_bucketed_local(x[: 2 * Fuv], t) * racthe)
+        if Fsc_g:
+            parts.append(self._analysis_bucketed_local(x[2 * Fuv :], t))
+        four = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                else parts[0])
         # permute m to the distributed layout (pad rows read a zero row);
         # both boundary permutations as leading-axis whole-row gathers
         # (minor-axis gathers fetch element-by-element on this backend —
@@ -550,10 +567,14 @@ class ShardedTransform:
         # back to natural latitude order for the quadrature/LT (drops
         # pads); fT is (ML, F, 2, ndgl_pad) after the tiled all_to_all
         fL = jax.lax.optimization_barrier(jnp.moveaxis(fT, 3, 0))
-        four = fL[t["lat_pos"]].transpose(2, 3, 1, 0)  # (F, 2, ML, ndgl)
+        return fL[t["lat_pos"]].transpose(2, 3, 1, 0)  # (F, 2, ML, ndgl)
 
-        dense = self._lt_dir(four, t)
-
+    def _dir_pack_kernel(self, dense, t, Fuv_g: int, Fsc_g: int):
+        """Realigned dense LT output -> packed spectral arrays (UVTVD +
+        compaction + psum).  Own program — see _dir_ana_kernel."""
+        res = self.res
+        Fuv = Fuv_g // self.v
+        Fsc = Fsc_g // self.v
         zero = jnp.zeros((0, res.nspec2), dense.dtype)
         spvor = spdiv = spsc = zero
         if Fuv:
@@ -1055,9 +1076,15 @@ class ShardedTransform:
                 spsc[pos_sc] if nsc else None)
 
     def _build_dir(self, Fuv_g, Fsc_g):
+        """Three separate jitted shard_map programs (analysis | LT |
+        UVTVD+pack): the fused single-program direct transform silently
+        miscompiles on this backend (see _dir_ana_kernel); dispatch
+        boundaries are the only reliable fix for this class (same split
+        as the single-device transform._dir_* programs)."""
         specs_t = {k: self.table_specs[k] for k in self.tables}
+        spec_w = P("v", None, "w", None)  # fields over v, m-blocks over w
 
-        def fn(u, v, sc, tables):  # tables as argument — see _build_inv
+        def ana(u, v, sc, tables):  # tables as argument — see _build_inv
             parts = []
             if Fuv_g:
                 parts += [u, v]
@@ -1071,14 +1098,44 @@ class ShardedTransform:
                                  grid.dtype)], axis=1)
             grid = gz[:, jnp.minimum(jnp.asarray(self.dist.lat_perm),
                                      self.res.ndgl)]
-            kernel = functools.partial(self._dir_kernel, Fuv_g=Fuv_g, Fsc_g=Fsc_g)
+            kernel = functools.partial(self._dir_ana_kernel,
+                                       Fuv_g=Fuv_g, Fsc_g=Fsc_g)
             sm = jax.shard_map(
                 lambda g, t: kernel(g, t),
                 mesh=self.mesh,
                 in_specs=(P(None, ("w", "v"), None), specs_t),
-                out_specs=(P("v", None), P("v", None), P("v", None)),
-                check_vma=False,  # pallas_call has no vma rule
+                out_specs=spec_w,
+                check_vma=False,
             )
             return sm(grid, tables)
 
-        return jax.jit(fn)
+        def lt(four, tables):
+            sm = jax.shard_map(
+                lambda f, t: self._lt_dir(f, t),
+                mesh=self.mesh,
+                in_specs=(spec_w, specs_t),
+                out_specs=spec_w,
+                check_vma=False,  # pallas_call has no vma rule
+            )
+            return sm(four, tables)
+
+        def pack(dense, tables):
+            kernel = functools.partial(self._dir_pack_kernel,
+                                       Fuv_g=Fuv_g, Fsc_g=Fsc_g)
+            sm = jax.shard_map(
+                lambda d, t: kernel(d, t),
+                mesh=self.mesh,
+                in_specs=(spec_w, specs_t),
+                out_specs=(P("v", None), P("v", None), P("v", None)),
+                check_vma=False,
+            )
+            return sm(dense, tables)
+
+        jits = (jax.jit(ana), jax.jit(lt), jax.jit(pack))
+
+        def fn(u, v, sc, tables):
+            four = jits[0](u, v, sc, tables)
+            dense = jits[1](four, tables)
+            return jits[2](dense, tables)
+
+        return fn
